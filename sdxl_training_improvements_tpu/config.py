@@ -1,0 +1,285 @@
+"""Typed configuration tree for the TPU-native SDXL training framework.
+
+The YAML schema is kept byte-compatible with the reference framework's
+``src/config.yaml`` (see reference ``src/data/config.py:10-311``) so existing
+configs load unchanged: ``model`` / ``optimizer`` / ``training`` (with nested
+``method_config.scheduler``) / ``data`` / ``global_config.{cache,logging,image}``
+/ ``tag_weighting``.  On top of that schema this rebuild adds:
+
+* ``model.rho`` — the Karras rho the reference *reads* but never defines
+  (reference defect, ``novelai_v3.py:107,204``), defaulting to 7.0.
+* a ``tpu`` section controlling the device mesh / sharding / pallas toggles,
+  all defaulted so reference configs need no edits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, asdict
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    """Mirrors reference ``ModelConfig`` (``src/data/config.py:10-39``)."""
+
+    pretrained_model_name: str = "stabilityai/stable-diffusion-xl-base-1.0"
+    model_type: str = "sdxl"
+    prediction_type: str = "v_prediction"  # epsilon | v_prediction
+    num_timesteps: int = 1000
+    sigma_min: float = 0.002
+    sigma_max: float = 20000.0
+    use_ztsnr: bool = True
+    timestep_bias_strategy: str = "none"  # none | earlier | later | range
+    timestep_bias_min: float = 0.0
+    timestep_bias_max: float = 1.0
+    min_snr_gamma: Optional[float] = 5.0
+    # Reference reads config.model.rho but never defines it (defect ledger);
+    # we define it with the reference function default (novelai_v3.py:164).
+    rho: float = 7.0
+
+
+@dataclass
+class OptimizerConfig:
+    """Mirrors reference ``OptimizerConfig`` (``src/data/config.py:41-114``)."""
+
+    learning_rate: float = 1e-6
+    weight_decay: float = 0.01
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    optimizer_type: str = "adamw_bf16"  # adamw_bf16 | adamw_schedule_free_kahan | soap
+
+    # Schedule-free specific
+    warmup_steps: int = 0
+    kahan_sum: bool = True
+    correct_bias: bool = True
+
+    # SOAP specific
+    precondition_frequency: int = 10
+    shampoo_beta: float = 0.95
+    max_precond_dim: int = 10000
+    precondition_1d: bool = False
+    merge_dims: bool = False
+    normalize_grads: bool = False
+    data_format: str = "channels_first"
+
+    @property
+    def betas(self) -> tuple:
+        return (self.beta1, self.beta2)
+
+
+@dataclass
+class SchedulerConfig:
+    """Mirrors reference ``SchedulerConfig`` (``src/data/config.py:116-146``)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    clip_sample: bool = False
+    steps_offset: int = 0
+    timestep_spacing: str = "leading"
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
+    rescale_betas_zero_snr: bool = True
+
+
+@dataclass
+class MethodConfig:
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+
+
+@dataclass
+class TrainingConfig:
+    """Mirrors reference ``TrainingConfig`` (``src/data/config.py:153-181``)."""
+
+    method: str = "ddpm"  # ddpm | flow_matching (registry-extensible)
+    num_epochs: int = 10
+    batch_size: int = 4
+    gradient_accumulation_steps: int = 1
+    mixed_precision: str = "bf16"  # fp16 | bf16 | no
+    enable_xformers: bool = True  # accepted for config parity; TPU path always
+    # uses the fused attention kernels, so this is a no-op toggle.
+    num_workers: int = 4
+    prediction_type: str = "v_prediction"
+    method_config: MethodConfig = field(default_factory=MethodConfig)
+    save_every: int = 1
+    pin_memory: bool = True
+    clip_grad_norm: float = 1.0
+    num_inference_steps: int = 50
+    debug_mode: bool = False
+    save_final_model: bool = True
+    # Rebuild additions (absent in reference):
+    max_steps: Optional[int] = None  # hard step cap (overrides epochs if set)
+    resume_from: Optional[str] = None  # checkpoint dir to resume from
+    seed: int = 42
+
+
+@dataclass
+class ImageConfig:
+    """Mirrors reference ``ImageConfig`` (``src/data/config.py:183-202``)."""
+
+    supported_dims: List[List[int]] = field(
+        default_factory=lambda: [
+            [640, 1536],
+            [768, 1344],
+            [832, 1216],
+            [896, 1152],
+            [1024, 1024],
+            [1152, 896],
+            [1216, 832],
+            [1344, 768],
+            [1536, 640],
+        ]
+    )
+    max_aspect_ratio: float = 2.4
+    target_size: List[int] = field(default_factory=lambda: [1024, 1024])
+    max_size: List[int] = field(default_factory=lambda: [1536, 1536])
+    min_size: List[int] = field(default_factory=lambda: [384, 384])
+    bucket_step: int = 64
+
+
+@dataclass
+class CacheConfig:
+    """Mirrors reference ``CacheConfig`` (``src/data/config.py:204-221``)."""
+
+    cache_dir: Union[str, Path] = "cache"
+    max_cache_size: int = 10000
+    use_cache: bool = True
+    cache_latents: bool = True
+    cache_text_embeddings: bool = True
+
+
+@dataclass
+class LoggingConfig:
+    """Mirrors reference ``LoggingConfig`` (``src/data/config.py:223-249``)."""
+
+    use_wandb: bool = False
+    wandb_project: str = "sdxl-training"
+    wandb_entity: Optional[str] = None
+    log_dir: str = "logs"
+    filename: str = "training.log"
+    console_level: str = "INFO"
+    file_level: str = "DEBUG"
+    capture_warnings: bool = True
+    log_every: int = 10
+
+
+@dataclass
+class DataConfig:
+    """Mirrors reference ``DataConfig`` (``src/data/config.py:251-270``)."""
+
+    train_data_dir: Union[str, List[str]] = field(default_factory=lambda: ["data/train"])
+    validation_data_dir: Optional[Union[str, List[str]]] = None
+    image_size: int = 1024
+    center_crop: bool = True
+    random_flip: bool = True
+    tokenizer_max_length: int = 77
+
+
+@dataclass
+class GlobalConfig:
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    image: ImageConfig = field(default_factory=ImageConfig)
+
+
+@dataclass
+class TagWeightingConfig:
+    """Mirrors reference ``TagWeightingConfig`` (``src/data/config.py:279-301``)."""
+
+    enable_tag_weighting: bool = False
+    use_cache: bool = True
+    required: bool = False
+    min_weight: float = 0.1
+    max_weight: float = 3.0
+    default_weight: float = 1.0
+    smoothing_factor: float = 0.05
+
+
+@dataclass
+class TPUConfig:
+    """TPU/mesh settings — rebuild-only section, fully defaulted.
+
+    The mesh is (data, fsdp, tensor).  The reference's sole parallelism
+    strategy is DDP over NCCL (``src/core/distributed.py``); here data
+    parallelism is the ``data`` axis of a ``jax.sharding.Mesh`` with gradient
+    averaging compiled into the train step, and optional param/optimizer
+    sharding rides the ``fsdp`` axis (ZeRO-style), ``tensor`` the megatron
+    axis.  Defaults reproduce plain DP over all devices.
+    """
+
+    mesh_shape: Optional[List[int]] = None  # None -> (n_devices, 1, 1)
+    axis_names: List[str] = field(default_factory=lambda: ["data", "fsdp", "tensor"])
+    shard_params: bool = False  # shard params+opt state over fsdp axis
+    remat: bool = True  # gradient rematerialisation in the UNet
+    use_pallas_attention: bool = True
+    donate_state: bool = True
+    profile_dir: Optional[str] = None
+
+
+@dataclass
+class Config:
+    """Root config. ``from_yaml`` applies YAML over dataclass defaults
+    recursively, preserving defaults for absent keys (same merge semantics as
+    reference ``Config.from_yaml``, ``src/data/config.py:327-420``)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    global_config: GlobalConfig = field(default_factory=GlobalConfig)
+    tag_weighting: TagWeightingConfig = field(default_factory=TagWeightingConfig)
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+    # ------------------------------------------------------------------ io
+    def to_dict(self) -> Dict[str, Any]:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        cfg = cls()
+        _merge_into_dataclass(cfg, raw or {})
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: Union[str, Path]) -> "Config":
+        path = Path(path)
+        if not path.exists():
+            return cls()
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    def save_yaml(self, path: Union[str, Path]) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+
+def _merge_into_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
+    """Recursively overlay ``data`` onto dataclass ``obj`` in place.
+
+    Unknown keys are ignored (forward/backward compat, matching the
+    reference's tolerant merge).  Dict values merge into nested dataclasses;
+    everything else replaces the default.
+    """
+    if not dataclasses.is_dataclass(obj):
+        return data
+    names = {f.name for f in dataclasses.fields(obj)}
+    for key, value in (data or {}).items():
+        if key not in names:
+            continue
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current):
+            if not isinstance(value, dict):
+                raise ValueError(
+                    f"Config section {key!r} must be a mapping, got "
+                    f"{type(value).__name__}: {value!r}")
+            _merge_into_dataclass(current, value)
+        else:
+            setattr(obj, key, value)
+    return obj

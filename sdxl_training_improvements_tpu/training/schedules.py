@@ -1,0 +1,264 @@
+"""Noise-schedule numerics as pure JAX transforms.
+
+Re-implements (TPU-first, jit-friendly: no data-dependent control flow, all
+static shapes) the reference's NovelAI-V3 scheduler semantics
+(``src/training/schedulers/novelai_v3.py``) and the flow-matching numerics
+(``src/training/trainers/methods/flow_matching_trainer.py:373-419``):
+
+* Karras sigma ramp (``novelai_v3.py:160-184``), with the ZTSNR override to
+  sigma_max=20000 (``:101-109``).
+* ``add_noise`` = x + sigma*eps with the ZTSNR +-20000 clamp (``:111-120``).
+* the reference's (nonstandard) ``get_velocity`` = (eps - x)/sigma
+  (``:122-127``) and ``get_snr`` = (sigma_data/sigma)^2 (``:129-132``) —
+  reproduced deliberately for loss parity.
+* Karras boundary scalings c_skip/c_out/c_in (``:59-70``).
+* MinSNR weighting mse*min(snr, gamma) (``ddpm_trainer.py:335-345``).
+* logit-normal time sampling sigmoid(mu + std*N(0,1)) and the optimal
+  transport path xt=(1-t)x0+t*x1 with target v=x1-x0.
+* timestep-bias sampling weights (``models/sdxl.py:99-157``).
+* SDXL additional time-ids (``novelai_v3.py:209-235``).
+
+Everything here is a pure function of explicit PRNG keys and precomputed
+schedule arrays — the schedule is built once on host (``NoiseSchedule.create``)
+and closed over by the jitted train step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+ZTSNR_SIGMA_MAX = 20000.0
+
+
+# --------------------------------------------------------------------------
+# Karras schedule
+# --------------------------------------------------------------------------
+
+def karras_sigmas(n_sigmas: int, sigma_min: float, sigma_max: float,
+                  rho: float = 7.0, dtype=jnp.float32) -> jnp.ndarray:
+    """Karras et al. (2022) sigma ramp, descending from sigma_max to sigma_min.
+
+    Matches reference ``get_karras_sigmas`` (``novelai_v3.py:160-184``):
+    ``((max^(1/rho) + ramp*(min^(1/rho) - max^(1/rho)))^rho`` over a linspace
+    ramp in [0, 1].
+    """
+    ramp = jnp.linspace(0.0, 1.0, n_sigmas, dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32)
+    min_inv_rho = sigma_min ** (1.0 / rho)
+    max_inv_rho = sigma_max ** (1.0 / rho)
+    sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+    return sigmas.astype(dtype)
+
+
+def karras_scalings(sigma: jnp.ndarray, sigma_data: float = 1.0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Boundary-condition scalings (c_skip, c_out, c_in) — ``novelai_v3.py:59-64``."""
+    var = sigma ** 2 + sigma_data ** 2
+    c_skip = (sigma_data ** 2) / var
+    c_out = -sigma * sigma_data * jax.lax.rsqrt(var)
+    c_in = jax.lax.rsqrt(var)
+    return c_skip, c_out, c_in
+
+
+def infinite_karras_scalings(sigma_data: float = 1.0) -> Tuple[float, float]:
+    """sigma->inf limit: c_skip=0, c_out=-sigma_data (``novelai_v3.py:66-70``)."""
+    return 0.0, -sigma_data
+
+
+# --------------------------------------------------------------------------
+# Schedule container
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NoiseSchedule:
+    """Precomputed training schedule closed over by the jitted step.
+
+    ``sigmas[t]`` is indexed directly by integer timesteps, exactly like the
+    reference's ``timestep_to_sigma`` (``novelai_v3.py:134-137``) which indexes
+    the descending Karras ramp — so t=0 is the *highest* sigma.
+    """
+
+    sigmas: jnp.ndarray  # [num_timesteps], descending
+    num_timesteps: int
+    sigma_data: float
+    use_ztsnr: bool
+    prediction_type: str  # "epsilon" | "v_prediction"
+    min_snr_gamma: Optional[float]
+
+    @classmethod
+    def create(cls, *, num_timesteps: int = 1000, sigma_min: float = 0.002,
+               sigma_max: float = 20000.0, rho: float = 7.0,
+               use_ztsnr: bool = True, sigma_data: float = 1.0,
+               prediction_type: str = "v_prediction",
+               min_snr_gamma: Optional[float] = 5.0) -> "NoiseSchedule":
+        eff_sigma_max = ZTSNR_SIGMA_MAX if use_ztsnr else sigma_max
+        sigmas = karras_sigmas(num_timesteps, sigma_min, eff_sigma_max, rho)
+        return cls(sigmas=sigmas, num_timesteps=num_timesteps,
+                   sigma_data=sigma_data, use_ztsnr=use_ztsnr,
+                   prediction_type=prediction_type, min_snr_gamma=min_snr_gamma)
+
+    @classmethod
+    def from_config(cls, config) -> "NoiseSchedule":
+        m = config.model
+        return cls.create(num_timesteps=m.num_timesteps, sigma_min=m.sigma_min,
+                          sigma_max=m.sigma_max, rho=m.rho, use_ztsnr=m.use_ztsnr,
+                          prediction_type=config.training.prediction_type,
+                          min_snr_gamma=m.min_snr_gamma)
+
+    # ------------------------------------------------------------- pure ops
+    def timestep_to_sigma(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        return self.sigmas[timesteps]
+
+    def sample_timesteps(self, key: jax.Array, batch_size: int,
+                         weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Uniform integer timesteps, optionally biased by ``weights``.
+
+        The reference samples uniformly either way (``novelai_v3.py:139-151``);
+        ``weights`` supports the timestep-bias strategies of
+        ``models/sdxl.py:99-157`` via categorical sampling.
+        """
+        if weights is None:
+            return jax.random.randint(key, (batch_size,), 0, self.num_timesteps)
+        logits = jnp.log(weights)
+        return jax.random.categorical(key, logits, shape=(batch_size,))
+
+    def add_noise(self, sample: jnp.ndarray, noise: jnp.ndarray,
+                  timesteps: jnp.ndarray) -> jnp.ndarray:
+        """x + sigma*eps, clamped to +-20000 under ZTSNR (``novelai_v3.py:111-120``)."""
+        sigma = _bcast(self.timestep_to_sigma(timesteps), sample)
+        noisy = sample + sigma * noise.astype(sigma.dtype)
+        if self.use_ztsnr:
+            noisy = jnp.clip(noisy, -ZTSNR_SIGMA_MAX, ZTSNR_SIGMA_MAX)
+        return noisy
+
+    def get_velocity(self, sample: jnp.ndarray, noise: jnp.ndarray,
+                     timesteps: jnp.ndarray) -> jnp.ndarray:
+        """Reference's v-target: (eps - x)/sigma (``novelai_v3.py:122-127``)."""
+        sigma = _bcast(self.timestep_to_sigma(timesteps), sample)
+        return (noise.astype(sigma.dtype) - sample) / sigma
+
+    def get_snr(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        """(sigma_data/sigma)^2 (``novelai_v3.py:129-132``)."""
+        sigma = self.timestep_to_sigma(timesteps)
+        return (self.sigma_data / sigma) ** 2
+
+    def min_snr_weight(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        """min(snr, gamma) per MinSNR (``ddpm_trainer.py:335-345``); ones if off."""
+        if self.min_snr_gamma is None:
+            return jnp.ones(timesteps.shape, dtype=jnp.float32)
+        snr = self.get_snr(timesteps)
+        return jnp.minimum(snr, jnp.float32(self.min_snr_gamma))
+
+
+def _bcast(per_example: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Reshape [B] to [B, 1, 1, ...] to broadcast against ``like``."""
+    shape = (per_example.shape[0],) + (1,) * (like.ndim - 1)
+    return per_example.reshape(shape).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Flow matching numerics
+# --------------------------------------------------------------------------
+
+def sample_logit_normal(key: jax.Array, shape, mean: float = 0.0,
+                        std: float = 1.0, dtype=jnp.float32) -> jnp.ndarray:
+    """sigmoid(mean + std*N(0,1)) (``flow_matching_trainer.py:373-385``)."""
+    normal = mean + std * jax.random.normal(key, shape, dtype=dtype)
+    return jax.nn.sigmoid(normal)
+
+
+def optimal_transport_path(x0: jnp.ndarray, x1: jnp.ndarray,
+                           t: jnp.ndarray) -> jnp.ndarray:
+    """(1-t)x0 + t*x1 with t broadcast per-example (``:387-390``)."""
+    tb = _bcast(t, x0).astype(x0.dtype)
+    return (1.0 - tb) * x0 + tb * x1
+
+
+def flow_matching_target(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """Straight-path velocity target v = x1 - x0 (``:417``)."""
+    return x1 - x0
+
+
+# --------------------------------------------------------------------------
+# Timestep bias weights
+# --------------------------------------------------------------------------
+
+def generate_timestep_weights(num_timesteps: int, bias_strategy: str = "none",
+                              bias_portion: float = 0.25,
+                              bias_multiplier: float = 2.0,
+                              bias_begin: Optional[int] = None,
+                              bias_end: Optional[int] = None) -> jnp.ndarray:
+    """Normalized sampling weights over timesteps (``models/sdxl.py:99-157``)."""
+    weights = jnp.ones((num_timesteps,), dtype=jnp.float32)
+    if bias_strategy == "none":
+        return weights / weights.sum()
+    if bias_multiplier <= 0:
+        raise ValueError("Timestep bias multiplier must be positive; use "
+                         "bias_strategy='none' to disable biasing.")
+    num_to_bias = int(bias_portion * num_timesteps)
+    idx = jnp.arange(num_timesteps)
+    if bias_strategy == "later":
+        mask = idx >= num_timesteps - num_to_bias
+    elif bias_strategy == "earlier":
+        mask = idx < num_to_bias
+    elif bias_strategy == "range":
+        if bias_begin is None or bias_end is None:
+            raise ValueError("bias_begin and bias_end must be specified for range strategy")
+        if bias_begin < 0 or bias_end > num_timesteps:
+            raise ValueError(f"Bias range must be within [0, {num_timesteps}], "
+                             f"got [{bias_begin}, {bias_end}]")
+        mask = (idx >= bias_begin) & (idx < bias_end)
+    else:
+        raise ValueError(f"Unknown bias strategy: {bias_strategy}. "
+                         "Must be one of: none, earlier, later, range")
+    weights = jnp.where(mask, weights * bias_multiplier, weights)
+    return weights / weights.sum()
+
+
+# --------------------------------------------------------------------------
+# SDXL conditioning time-ids
+# --------------------------------------------------------------------------
+
+def get_add_time_ids(original_sizes, crop_top_lefts, target_sizes,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """[B, 6] = (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w) per example
+    (``novelai_v3.py:209-235``)."""
+    rows = [list(o) + list(c) + list(t)
+            for o, c, t in zip(original_sizes, crop_top_lefts, target_sizes)]
+    return jnp.asarray(rows, dtype=dtype)
+
+
+# --------------------------------------------------------------------------
+# ZTSNR / Euler sampling (inference + validation imaging)
+# --------------------------------------------------------------------------
+
+def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
+                 schedule: NoiseSchedule, num_steps: int = 28) -> jnp.ndarray:
+    """Karras-Euler sampler with the ZTSNR first step.
+
+    First step treats sigma_0 as infinite: x1 = sigma_1*n - sigma_data *
+    model(n, inf) (``novelai_v3.py:72-75``), then plain Euler steps with the
+    boundary scalings (``:77-99``).  ``model_fn(x, sigma)`` is the denoiser in
+    sigma space (a closure binding params + conditioning).
+    """
+    sigmas = karras_sigmas(
+        num_steps,
+        float(schedule.sigmas[-1]),
+        ZTSNR_SIGMA_MAX if schedule.use_ztsnr else float(schedule.sigmas[0]),
+        rho=7.0,
+    )
+    n = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+    x = sigmas[1] * n - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf))
+
+    def euler_step(x, sigma_pair):
+        sigma_i, sigma_next = sigma_pair
+        c_skip, c_out, c_in = karras_scalings(sigma_i, schedule.sigma_data)
+        denoised = c_skip * x + c_out * model_fn(c_in * x, sigma_i)
+        d = (x - denoised) / sigma_i
+        return x + (sigma_next - sigma_i) * d, None
+
+    pairs = jnp.stack([sigmas[1:-1], sigmas[2:]], axis=1)
+    x, _ = jax.lax.scan(euler_step, x, pairs)
+    return x

@@ -1,0 +1,40 @@
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+This replaces the reference's untestable torchrun path (SURVEY.md §4): mesh /
+shard_map tests run against 8 fake CPU devices so the full multi-device
+sharding story is exercised without a TPU pod.
+
+The environment may pin JAX_PLATFORMS to a hardware plugin (e.g. a tunneled
+TPU) — tests must override it *forcibly*, before any backend initializes, or
+every tiny test compile would round-trip through the device tunnel.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: XLA_FLAGS above covers it
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    # Fail fast if the override did not take: running the unit suite over a
+    # remote-TPU tunnel is a silent 100x slowdown.
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}")
+    assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

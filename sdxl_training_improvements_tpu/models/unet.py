@@ -1,0 +1,200 @@
+"""SDXL UNet as a flax.linen module — TPU-first re-design.
+
+Functional parity target: the diffusers ``UNet2DConditionModel`` that the
+reference fine-tunes (loaded at ``src/models/sdxl.py:25-31``; called with
+``added_cond_kwargs={text_embeds, time_ids}`` at
+``ddpm_trainer.py:314-325``).  Design differences from the torch original:
+
+* NHWC activations everywhere (TPU conv layout); the NCHW boundary transpose
+  happens in ``__call__``.
+* bf16 params/compute with fp32 norms and fp32 softmax via the dtype policy.
+* Attention runs the Pallas flash kernel on TPU (``ops/attention.py``).
+* Optional ``remat`` checkpoints every resnet/transformer block —
+  the TPU analogue of the reference's ``enable_gradient_checkpointing``
+  (``flow_matching_trainer.py:59-66``).
+* Static shapes + python-level (unrolled) block loops: everything under one
+  ``jit``, one executable per latent resolution (bucket).
+
+Param-tree names mirror diffusers keys (down_blocks_0/resnets_0/conv1, …) so
+HF SDXL safetensors load by pure name translation (``models/weights.py``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sdxl_training_improvements_tpu.models.layers import (
+    Downsample2D, GroupNorm, ResnetBlock2D, TimestepEmbedding,
+    Transformer2DModel, Upsample2D, timestep_embedding)
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Architecture hyperparameters. ``sdxl()`` is the flagship config."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    layers_per_block: int = 2
+    # transformer depth per stage; 0 = plain resnet stage (SDXL: first stage
+    # has no attention)
+    transformer_layers_per_block: Tuple[int, ...] = (0, 2, 10)
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 2048
+    addition_time_embed_dim: int = 256
+    # pooled text (1280) + 6 time-ids * 256 = 2816 for SDXL
+    projection_class_embeddings_input_dim: int = 2816
+    norm_num_groups: int = 32
+    remat: bool = True
+    use_pallas: bool = True
+
+    @classmethod
+    def sdxl(cls, **kw) -> "UNetConfig":
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "UNetConfig":
+        """CPU-testable miniature with the same topology."""
+        defaults = dict(
+            block_out_channels=(32, 64, 128),
+            layers_per_block=1,
+            transformer_layers_per_block=(0, 1, 1),
+            attention_head_dim=16,
+            cross_attention_dim=64,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=80 + 6 * 8,  # pooled 80
+            remat=False,
+            use_pallas=False,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @property
+    def pooled_embed_dim(self) -> int:
+        return (self.projection_class_embeddings_input_dim
+                - 6 * self.addition_time_embed_dim)
+
+
+class SDXLUNet(nn.Module):
+    config: UNetConfig = field(default_factory=UNetConfig)
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.bfloat16
+
+    def _blocks(self):
+        cfg = self.config
+        res_cls, tfm_cls = ResnetBlock2D, Transformer2DModel
+        if cfg.remat:
+            res_cls = nn.remat(ResnetBlock2D)
+            tfm_cls = nn.remat(Transformer2DModel)
+        return res_cls, tfm_cls
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 text_embeds, time_ids):
+        """Predict noise / velocity.
+
+        Args:
+          sample: [B, C, H, W] latents (NCHW at the boundary for parity with
+            the reference batch contract, ``ddpm_trainer.py:293``).
+          timesteps: [B] (ints for ddpm; floats in [0,1] for flow matching,
+            which calls the UNet with t directly — reference behaviour,
+            ``flow_matching_trainer.py:392-405``).
+          encoder_hidden_states: [B, 77, cross_attention_dim] text embeds.
+          text_embeds: [B, pooled_dim] pooled CLIP-G embeds.
+          time_ids: [B, 6] SDXL size/crop conditioning.
+        Returns:
+          [B, C, H, W] prediction.
+        """
+        cfg = self.config
+        dt, pdt = self.dtype, self.param_dtype
+        res_cls, tfm_cls = self._blocks()
+
+        x = jnp.transpose(sample.astype(dt), (0, 2, 3, 1))  # NCHW -> NHWC
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+
+        # --- time + added conditioning embeddings (fp32 sinusoids) ---
+        t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        emb = TimestepEmbedding(cfg.time_embed_dim, dt, pdt,
+                                name="time_embedding")(t_emb.astype(dt))
+        ids_emb = timestep_embedding(time_ids.reshape(-1),
+                                     cfg.addition_time_embed_dim)
+        ids_emb = ids_emb.reshape(x.shape[0], -1)
+        add_in = jnp.concatenate(
+            [text_embeds.astype(jnp.float32), ids_emb], axis=-1).astype(dt)
+        emb = emb + TimestepEmbedding(cfg.time_embed_dim, dt, pdt,
+                                      name="add_embedding")(add_in)
+
+        ctx = encoder_hidden_states.astype(dt)
+
+        def make_tfm(ch, depth, name):
+            return tfm_cls(num_heads=ch // cfg.attention_head_dim,
+                           head_dim=cfg.attention_head_dim, depth=depth,
+                           dtype=dt, param_dtype=pdt, use_pallas=cfg.use_pallas,
+                           name=name)
+
+        # --- down path ---
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt,
+                    param_dtype=pdt, name="conv_in")(x)
+        skips = [x]
+        n_stages = len(cfg.block_out_channels)
+        for i, ch in enumerate(cfg.block_out_channels):
+            depth = cfg.transformer_layers_per_block[i]
+            for j in range(cfg.layers_per_block):
+                x = res_cls(out_channels=ch, emb_dim=cfg.time_embed_dim,
+                            num_groups=cfg.norm_num_groups, dtype=dt,
+                            param_dtype=pdt,
+                            name=f"down_blocks_{i}_resnets_{j}")(x, emb)
+                if depth > 0:
+                    x = make_tfm(ch, depth,
+                                 f"down_blocks_{i}_attentions_{j}")(x, ctx)
+                skips.append(x)
+            if i < n_stages - 1:
+                x = Downsample2D(ch, dt, pdt,
+                                 name=f"down_blocks_{i}_downsamplers_0")(x)
+                skips.append(x)
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        mid_depth = cfg.transformer_layers_per_block[-1]
+        x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
+                    num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
+                    name="mid_block_resnets_0")(x, emb)
+        if mid_depth > 0:
+            x = make_tfm(mid_ch, mid_depth, "mid_block_attentions_0")(x, ctx)
+        x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
+                    num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
+                    name="mid_block_resnets_1")(x, emb)
+
+        # --- up path ---
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_depths = list(reversed(cfg.transformer_layers_per_block))
+        for i, ch in enumerate(rev_channels):
+            depth = rev_depths[i]
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = res_cls(out_channels=ch, emb_dim=cfg.time_embed_dim,
+                            num_groups=cfg.norm_num_groups, dtype=dt,
+                            param_dtype=pdt,
+                            name=f"up_blocks_{i}_resnets_{j}")(x, emb)
+                if depth > 0:
+                    x = make_tfm(ch, depth,
+                                 f"up_blocks_{i}_attentions_{j}")(x, ctx)
+            if i < n_stages - 1:
+                x = Upsample2D(ch, dt, pdt,
+                               name=f"up_blocks_{i}_upsamplers_0")(x)
+
+        # --- head ---
+        x = GroupNorm(cfg.norm_num_groups, 1e-5, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt,
+                    param_dtype=pdt, name="conv_out")(x)
+        return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW

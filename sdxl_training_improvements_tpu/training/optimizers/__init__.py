@@ -1,0 +1,53 @@
+"""Optimizer registry — mirrors the reference's optimizer_type map
+(``src/data/config.py:66-75`` / ``src/main.py:73-77``):
+
+* ``adamw_bf16``                -> pure-bf16 AdamW with stochastic rounding
+* ``adamw_schedule_free_kahan`` -> schedule-free AdamW with Kahan summation
+* ``soap``                      -> SOAP (Shampoo-eigenbasis Adam)
+* ``adamw``                     -> plain optax AdamW (fp32 state baseline)
+"""
+from __future__ import annotations
+
+import optax
+
+from sdxl_training_improvements_tpu.training.optimizers.adamw_bf16 import (
+    AdamWBF16State, adamw_bf16)
+from sdxl_training_improvements_tpu.training.optimizers.schedule_free import (
+    ScheduleFreeKahanState, adamw_schedule_free_kahan,
+    schedule_free_eval_params)
+from sdxl_training_improvements_tpu.training.optimizers.soap import (
+    SOAPState, soap)
+
+__all__ = [
+    "adamw_bf16", "adamw_schedule_free_kahan", "soap", "make_optimizer",
+    "AdamWBF16State", "ScheduleFreeKahanState", "SOAPState",
+    "schedule_free_eval_params",
+]
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """Build the optimizer from an ``OptimizerConfig`` (same selection
+    surface as reference ``main.py:73-86``)."""
+    oc = config.optimizer if hasattr(config, "optimizer") else config
+    kind = oc.optimizer_type.lower()
+    common = dict(lr=oc.learning_rate, betas=(oc.beta1, oc.beta2),
+                  eps=oc.epsilon, weight_decay=oc.weight_decay)
+    if kind == "adamw_bf16":
+        return adamw_bf16(**common)
+    if kind == "adamw_schedule_free_kahan":
+        return adamw_schedule_free_kahan(
+            **common, warmup_steps=oc.warmup_steps, kahan_sum=oc.kahan_sum,
+            correct_bias=oc.correct_bias)
+    if kind == "soap":
+        return soap(**common, shampoo_beta=oc.shampoo_beta,
+                    precondition_frequency=oc.precondition_frequency,
+                    max_precond_dim=oc.max_precond_dim,
+                    merge_dims=oc.merge_dims,
+                    precondition_1d=oc.precondition_1d,
+                    normalize_grads=oc.normalize_grads,
+                    correct_bias=oc.correct_bias)
+    if kind == "adamw":
+        return optax.adamw(learning_rate=oc.learning_rate,
+                           b1=oc.beta1, b2=oc.beta2, eps=oc.epsilon,
+                           weight_decay=oc.weight_decay)
+    raise ValueError(f"Unsupported optimizer type: {oc.optimizer_type}")

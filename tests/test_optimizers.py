@@ -1,0 +1,217 @@
+"""Optimizer tests: stochastic rounding properties, convergence on a quadratic,
+SOAP preconditioner behaviour (SURVEY.md §4: property tests for
+copy_stochastic_ — mean-preserving, bf16-representable output)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_training_improvements_tpu.ops.stochastic import (
+    add_stochastic, stochastic_round_to_bf16)
+from sdxl_training_improvements_tpu.training.optimizers import (
+    adamw_bf16, adamw_schedule_free_kahan, make_optimizer, soap)
+from sdxl_training_improvements_tpu.config import Config
+
+
+class TestStochasticRounding:
+    def test_output_is_bf16_representable(self):
+        x = jnp.asarray([1.2345678, -3.1415926, 1e-8], jnp.float32)
+        r = stochastic_round_to_bf16(x, jax.random.key(0))
+        assert r.dtype == jnp.bfloat16
+
+    def test_exact_values_unchanged(self):
+        # values exactly representable in bf16 never move
+        x = jnp.asarray([1.0, 0.5, -2.0, 256.0], jnp.float32)
+        for s in range(5):
+            r = stochastic_round_to_bf16(x, jax.random.key(s))
+            np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                          np.asarray(x))
+
+    def test_mean_preserving(self):
+        # E[SR(x)] == x: x exactly halfway between two bf16 neighbours
+        lo = jnp.float32(1.0)
+        hi = np.nextafter(np.float32(1.0), 2.0, dtype=np.float32)
+        # bf16 next value after 1.0 is 1.0078125
+        x = jnp.full((100_000,), 1.00390625, jnp.float32)  # halfway
+        r = stochastic_round_to_bf16(x, jax.random.key(1)).astype(jnp.float32)
+        mean = float(jnp.mean(r))
+        assert abs(mean - 1.00390625) < 1e-4
+        vals = set(np.unique(np.asarray(r)))
+        assert vals == {1.0, 1.0078125}
+
+    def test_rounds_up_with_correct_probability(self):
+        # x = lo + 0.25*(hi-lo) -> P(up) = 0.25
+        x = jnp.full((200_000,), 1.001953125, jnp.float32)
+        r = stochastic_round_to_bf16(x, jax.random.key(2)).astype(jnp.float32)
+        p_up = float(jnp.mean(r > 1.0))
+        assert abs(p_up - 0.25) < 0.01
+
+    def test_add_stochastic_accumulates_tiny_updates(self):
+        """The motivating property: repeatedly adding sub-ulp values to a bf16
+        accumulator must make progress on average (nearest-rounding stalls)."""
+        acc = jnp.full((4096,), 1.0, jnp.bfloat16)
+        tiny = jnp.full((4096,), 1e-4, jnp.float32)  # ulp(1.0)=0.0078 in bf16
+        key = jax.random.key(3)
+        for i in range(100):
+            key, k = jax.random.split(key)
+            acc = add_stochastic(acc, tiny, k)
+        mean = float(jnp.mean(acc.astype(jnp.float32)))
+        # exact result 1.01; nearest rounding would stay at 1.0
+        assert 1.005 < mean < 1.015
+
+
+def quadratic_losses(opt, dtype, steps=200, lr_check=True):
+    """Minimize ||x - target||^2 and report trajectory."""
+    target = jnp.asarray([1.0, -2.0, 3.0, 0.5], jnp.float32)
+    params = {"w": jnp.zeros((4,), dtype)}
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            return jnp.mean((p["w"].astype(jnp.float32) - target) ** 2)
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        g = jax.tree.map(lambda x: x.astype(params["w"].dtype), g)
+        updates, state2 = opt.update(g, state, params)
+        import optax
+        return optax.apply_updates(params, updates), state2, loss
+
+    losses = []
+    for _ in range(steps):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    return losses, params
+
+
+class TestAdamWBF16:
+    def test_requires_bf16(self):
+        opt = adamw_bf16(lr=0.1)
+        with pytest.raises(ValueError, match="bfloat16"):
+            opt.init({"w": jnp.zeros((4,), jnp.float32)})
+
+    def test_converges_on_quadratic(self):
+        opt = adamw_bf16(lr=0.05, seed=0)
+        losses, params = quadratic_losses(opt, jnp.bfloat16, steps=300)
+        assert losses[-1] < 0.01 * losses[0]
+
+    def test_weight_decay_batched_fires(self):
+        # pure decay: zero grads, nonzero params -> params shrink eventually
+        opt = adamw_bf16(lr=0.1, weight_decay=0.5, seed=1)
+        params = {"w": jnp.full((16,), 1.0, jnp.bfloat16)}
+        state = opt.init(params)
+        import optax
+        for _ in range(40):
+            g = {"w": jnp.zeros((16,), jnp.bfloat16)}
+            upd, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        assert float(jnp.mean(params["w"].astype(jnp.float32))) < 0.9
+
+    def test_state_is_bf16(self):
+        opt = adamw_bf16(lr=0.1)
+        state = opt.init({"w": jnp.zeros((8,), jnp.bfloat16)})
+        assert state.exp_avg["w"].dtype == jnp.bfloat16
+        assert state.shift["w"].dtype == jnp.bfloat16
+
+
+class TestScheduleFree:
+    def test_converges(self):
+        opt = adamw_schedule_free_kahan(lr=0.05, weight_decay=0.0)
+        losses, _ = quadratic_losses(opt, jnp.float32, steps=300)
+        assert losses[-1] < 0.01 * losses[0]
+
+    def test_warmup_slows_start(self):
+        fast = adamw_schedule_free_kahan(lr=0.1, weight_decay=0.0)
+        slow = adamw_schedule_free_kahan(lr=0.1, weight_decay=0.0,
+                                         warmup_steps=100)
+        lf, _ = quadratic_losses(fast, jnp.float32, steps=20)
+        ls, _ = quadratic_losses(slow, jnp.float32, steps=20)
+        assert ls[-1] > lf[-1]
+
+    def test_kahan_with_bf16_params(self):
+        opt = adamw_schedule_free_kahan(lr=0.05, weight_decay=0.0)
+        losses, _ = quadratic_losses(opt, jnp.bfloat16, steps=300)
+        assert losses[-1] < 0.05 * losses[0]
+
+
+class TestSOAP:
+    def test_first_step_no_update(self):
+        opt = soap(lr=0.1)
+        params = {"w": jnp.ones((4, 4), jnp.float32)}
+        state = opt.init(params)
+        g = {"w": jnp.ones((4, 4), jnp.float32)}
+        upd, state = opt.update(g, state, params)
+        np.testing.assert_array_equal(np.asarray(upd["w"]), 0.0)
+        # preconditioner installed
+        assert float(jnp.abs(state.gg["w"][0]).max()) > 0
+
+    def test_converges_on_quadratic(self):
+        opt = soap(lr=0.05, weight_decay=0.0, precondition_frequency=5,
+                   precondition_1d=True)
+        losses, _ = quadratic_losses(opt, jnp.float32, steps=300)
+        assert losses[-1] < 0.01 * losses[0]
+
+    def test_matrix_param_preconditioners(self):
+        opt = soap(lr=0.01)
+        params = {"w": jnp.ones((8, 16), jnp.float32)}
+        state = opt.init(params)
+        assert state.gg["w"][0].shape == (8, 8)
+        assert state.gg["w"][1].shape == (16, 16)
+
+    def test_large_dim_skipped(self):
+        opt = soap(lr=0.01, max_precond_dim=10)
+        params = {"w": jnp.ones((8, 100), jnp.float32)}
+        state = opt.init(params)
+        assert state.gg["w"][0].shape == (8, 8)
+        assert state.gg["w"][1].shape == (0, 0)
+        # still steps fine
+        g = {"w": jnp.ones((8, 100), jnp.float32)}
+        for _ in range(3):
+            upd, state = opt.update(g, state, params)
+        assert np.isfinite(np.asarray(upd["w"])).all()
+
+    def test_merge_dims(self):
+        opt = soap(lr=0.01, merge_dims=True, max_precond_dim=50)
+        params = {"w": jnp.ones((3, 3, 4, 8), jnp.float32)}  # conv kernel
+        state = opt.init(params)
+        # 3*3*4=36 <=50 merges; 36*8 > 50 -> (36, 8)
+        shapes = tuple(m.shape[0] for m in state.gg["w"])
+        assert shapes == (36, 8)
+        g = {"w": jnp.ones((3, 3, 4, 8), jnp.float32)}
+        for _ in range(3):
+            upd, state = opt.update(g, state, params)
+        assert upd["w"].shape == (3, 3, 4, 8)
+
+    def test_qr_refresh_runs(self):
+        opt = soap(lr=0.05, precondition_frequency=2, weight_decay=0.0)
+        params = {"w": jnp.ones((4, 4), jnp.float32)}
+        state = opt.init(params)
+        key = jax.random.key(0)
+        import optax
+        for i in range(6):
+            key, k = jax.random.split(key)
+            g = {"w": jax.random.normal(k, (4, 4))}
+            upd, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        q = state.q["w"][0]
+        # Q orthogonal
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(4), atol=1e-4)
+
+
+class TestRegistry:
+    @pytest.mark.parametrize("kind", ["adamw_bf16", "adamw_schedule_free_kahan",
+                                      "soap", "adamw"])
+    def test_make_optimizer(self, kind):
+        cfg = Config()
+        cfg.optimizer.optimizer_type = kind
+        opt = make_optimizer(cfg)
+        dtype = jnp.bfloat16 if kind == "adamw_bf16" else jnp.float32
+        params = {"w": jnp.zeros((4,), dtype)}
+        state = opt.init(params)
+        upd, _ = opt.update({"w": jnp.ones((4,), dtype)}, state, params)
+        assert upd["w"].shape == (4,)
+
+    def test_unknown_type(self):
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "bogus"
+        with pytest.raises(ValueError, match="Unsupported optimizer"):
+            make_optimizer(cfg)

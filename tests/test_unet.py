@@ -1,0 +1,102 @@
+"""UNet structure/shape tests on the tiny config (CPU-runnable)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = UNetConfig.tiny()
+    model = SDXLUNet(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    B = 2
+    batch = dict(
+        sample=jnp.zeros((B, 4, 16, 16)),
+        timesteps=jnp.asarray([10, 500]),
+        encoder_hidden_states=jnp.zeros((B, 77, cfg.cross_attention_dim)),
+        text_embeds=jnp.zeros((B, cfg.pooled_embed_dim)),
+        time_ids=jnp.tile(jnp.asarray([[512., 512., 0., 0., 512., 512.]]), (B, 1)),
+    )
+    params = model.init(jax.random.key(0), **batch)
+    return model, params, batch
+
+
+def test_output_shape(tiny_setup):
+    model, params, batch = tiny_setup
+    out = model.apply(params, **batch)
+    assert out.shape == (2, 4, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_param_tree_has_diffusers_names(tiny_setup):
+    _, params, _ = tiny_setup
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(getattr(k, 'key', k)) for k in path) for path, _ in flat}
+    joined = "\n".join(names)
+    for expect in ["conv_in", "time_embedding", "add_embedding",
+                   "down_blocks_0_resnets_0", "down_blocks_1_attentions_0",
+                   "mid_block_attentions_0", "up_blocks_0_resnets_1",
+                   "up_blocks_1_upsamplers_0", "conv_norm_out", "conv_out",
+                   "attn1", "attn2", "to_q", "to_out_0", "ff", "proj_in"]:
+        assert expect in joined, f"missing {expect}"
+
+
+def test_timestep_affects_output(tiny_setup):
+    model, params, batch = tiny_setup
+    b2 = dict(batch, sample=jax.random.normal(jax.random.key(1), (2, 4, 16, 16)))
+    o1 = model.apply(params, **b2)
+    o2 = model.apply(params, **dict(b2, timesteps=jnp.asarray([999, 1])))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_context_affects_output(tiny_setup):
+    model, params, batch = tiny_setup
+    b2 = dict(batch, sample=jax.random.normal(jax.random.key(1), (2, 4, 16, 16)))
+    o1 = model.apply(params, **b2)
+    ctx = jax.random.normal(jax.random.key(2), b2["encoder_hidden_states"].shape)
+    o2 = model.apply(params, **dict(b2, encoder_hidden_states=ctx))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_float_timesteps_flow_matching_style(tiny_setup):
+    model, params, batch = tiny_setup
+    out = model.apply(params, **dict(batch, timesteps=jnp.asarray([0.25, 0.75])))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_non_square_buckets(tiny_setup):
+    model, params, batch = tiny_setup
+    b, cfg = 1, UNetConfig.tiny()
+    batch2 = dict(
+        sample=jnp.zeros((b, 4, 8, 24)),
+        timesteps=jnp.asarray([3]),
+        encoder_hidden_states=jnp.zeros((b, 77, cfg.cross_attention_dim)),
+        text_embeds=jnp.zeros((b, cfg.pooled_embed_dim)),
+        time_ids=jnp.zeros((b, 6)),
+    )
+    out = model.apply(params, **batch2)
+    assert out.shape == (1, 4, 8, 24)
+
+
+def test_jit_and_grad(tiny_setup):
+    model, params, batch = tiny_setup
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, **batch)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # at least one nonzero gradient
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_sdxl_config_structure():
+    cfg = UNetConfig.sdxl()
+    assert cfg.time_embed_dim == 1280
+    assert cfg.pooled_embed_dim == 1280
+    assert cfg.projection_class_embeddings_input_dim == 2816

@@ -1,0 +1,110 @@
+"""SDXL model bundle: UNet + VAE + dual CLIP, with the reference's surface.
+
+Counterpart of reference ``StableDiffusionXL`` (``src/models/sdxl.py``):
+owns the four submodels, exposes ``encode_prompt`` (dual CLIP ->
+prompt_embeds [B,77,2048] + pooled [B,1280]), ``encode_images`` (fp32 VAE,
+scaled sampled latents), and the UNet apply used by the trainer.  Weight I/O
+(HF safetensors import / diffusers-layout export) lives in
+``models/weights.py`` / ``training/checkpoints.py``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sdxl_training_improvements_tpu.models.clip import (
+    CLIPTextConfig, CLIPTextModel, encode_dual)
+from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
+from sdxl_training_improvements_tpu.models.vae import AutoencoderKL, VAEConfig
+
+
+@dataclass
+class SDXLModel:
+    unet: SDXLUNet
+    vae: AutoencoderKL
+    clip_l: CLIPTextModel
+    clip_g: CLIPTextModel
+    params: Dict[str, Any] = field(default_factory=dict)  # unet/vae/clip_l/clip_g
+
+    # ------------------------------------------------------------- builders
+    @classmethod
+    def create(cls, *, tiny: bool = False, dtype=jnp.bfloat16,
+               init_rng: Optional[jax.Array] = None,
+               init_components=("unet",), latent_size: int = 16) -> "SDXLModel":
+        """Random-init bundle.  ``tiny`` builds the CPU-testable miniature;
+        otherwise full SDXL-base architecture.  Only ``init_components`` get
+        params (CLIP/VAE are usually loaded from a checkpoint instead)."""
+        if tiny:
+            ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+            lcfg = CLIPTextConfig.tiny()
+            gcfg = CLIPTextConfig.tiny(projection=True)
+        else:
+            ucfg, vcfg = UNetConfig.sdxl(), VAEConfig.sdxl()
+            lcfg, gcfg = CLIPTextConfig.clip_l(), CLIPTextConfig.clip_g()
+        model = cls(
+            unet=SDXLUNet(config=ucfg, dtype=dtype, param_dtype=dtype),
+            vae=AutoencoderKL(vcfg),  # fp32 (reference vae.py:23)
+            clip_l=CLIPTextModel(lcfg),
+            clip_g=CLIPTextModel(gcfg),
+        )
+        if init_rng is not None:
+            model.init_params(init_rng, components=init_components,
+                              latent_size=latent_size)
+        return model
+
+    @property
+    def unet_config(self) -> UNetConfig:
+        return self.unet.config
+
+    def init_params(self, rng: jax.Array, components=("unet",),
+                    latent_size: int = 16) -> None:
+        ucfg = self.unet.config
+        keys = jax.random.split(rng, 4)
+        if "unet" in components:
+            b = 1
+            self.params["unet"] = self.unet.init(
+                keys[0],
+                jnp.zeros((b, ucfg.in_channels, latent_size, latent_size)),
+                jnp.zeros((b,)),
+                jnp.zeros((b, 77, ucfg.cross_attention_dim)),
+                jnp.zeros((b, ucfg.pooled_embed_dim)),
+                jnp.zeros((b, 6)))
+        if "vae" in components:
+            self.params["vae"] = self.vae.init(
+                keys[1], jnp.zeros((1, 3, 8 * latent_size, 8 * latent_size)),
+                keys[1])
+        if "clip_l" in components:
+            ids = jnp.zeros((1, 77), jnp.int32)
+            self.params["clip_l"] = self.clip_l.init(keys[2], ids)
+        if "clip_g" in components:
+            ids = jnp.zeros((1, 77), jnp.int32)
+            self.params["clip_g"] = self.clip_g.init(keys[3], ids)
+
+    # ------------------------------------------------------------- compute
+    def unet_apply(self, unet_params, sample, timesteps, prompt_embeds,
+                   pooled_prompt_embeds, time_ids):
+        return self.unet.apply(unet_params, sample, timesteps, prompt_embeds,
+                               pooled_prompt_embeds, time_ids)
+
+    def encode_prompt(self, input_ids_l, input_ids_g, clip_skip: int = 1):
+        """Dual-CLIP encoding, reference contract (``clip.py:61-91``)."""
+        return encode_dual(self.clip_l, self.params["clip_l"],
+                           self.clip_g, self.params["clip_g"],
+                           input_ids_l, input_ids_g, clip_skip=clip_skip)
+
+    def encode_images(self, pixel_values_nchw, rng):
+        """fp32 VAE encode -> sampled, scaled latents (``vae.py:33-56``)."""
+        return self.vae.apply(self.params["vae"], pixel_values_nchw, rng,
+                              method=self.vae.encode)
+
+    def decode_latents(self, latents_nchw):
+        return self.vae.apply(self.params["vae"], latents_nchw,
+                              method=self.vae.decode)
+
+    def trainable_params(self):
+        """UNet-only training, matching the reference's effective behaviour
+        (``sdxl.py:237-240`` — second ``parameters()`` def wins, UNet only)."""
+        return self.params["unet"]

@@ -1,0 +1,151 @@
+"""Pluggable training methods as pure loss functions.
+
+The reference's method plugin contract is a trainer subclass with a
+``compute_loss`` override selected by ``config.training.method``
+(``sdxl_trainer.py:127-152``, ``methods/example_method.py``).  The TPU-native
+equivalent is a registry of *pure loss functions* — everything else (grad
+accumulation, clipping, optimizer, sharding) lives in the one jitted train
+step, so a new method is exactly one function + one registry entry, still a
+one-line config change away (SURVEY.md §7 design stance).
+
+Signature::
+
+    loss_fn(unet_apply, params, batch, rng, schedule, mcfg) -> (loss, metrics)
+
+with ``batch`` carrying the reference's batch contract
+(``ddpm_trainer.py:284-296``): ``vae_latents`` [B,C,H,W], ``prompt_embeds``
+[B,77,2048], ``pooled_prompt_embeds`` [B,1280], ``time_ids`` [B,6], and
+optional ``tag_weights`` [B].
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdxl_training_improvements_tpu.training import schedules as S
+
+LOSS_CLAMP = 1000.0  # reference finite-guard ceiling (ddpm_trainer.py:379-384)
+
+LossFn = Callable[..., Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+LOSS_REGISTRY: Dict[str, LossFn] = {}
+
+
+def register_method(name: str):
+    def deco(fn: LossFn) -> LossFn:
+        LOSS_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def get_method(name: str) -> LossFn:
+    if name not in LOSS_REGISTRY:
+        raise ValueError(f"Unknown training method: {name!r}. "
+                         f"Available: {sorted(LOSS_REGISTRY)}")
+    return LOSS_REGISTRY[name]
+
+
+def _finite_guard(loss: jnp.ndarray) -> jnp.ndarray:
+    """Reference NaN posture: non-finite -> 1000.0, else clamp(max=1000)
+    (``ddpm_trainer.py:379-384``) — as a branchless jnp.where."""
+    return jnp.where(jnp.isfinite(loss),
+                     jnp.minimum(loss, LOSS_CLAMP),
+                     jnp.float32(LOSS_CLAMP))
+
+
+def _apply_tag_weights(loss: jnp.ndarray, batch) -> jnp.ndarray:
+    """loss *= mean(tag_weights) when present (``ddpm_trainer.py:347-368``)."""
+    tw = batch.get("tag_weights")
+    if tw is None:
+        return loss
+    return loss * jnp.mean(tw.astype(jnp.float32))
+
+
+@register_method("ddpm")
+def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
+              mcfg) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """DDPM / v-prediction loss with ZTSNR + MinSNR.
+
+    Numerics of ``DDPMTrainer.training_step`` (``ddpm_trainer.py:280-401``):
+    sample noise + uniform timesteps, ``add_noise`` (x + sigma*eps, ZTSNR
+    clamp), UNet prediction, target = eps or the reference's velocity
+    ``(eps-x)/sigma``, MinSNR-weighted MSE, tag weighting, finite guard.
+    """
+    x = batch["vae_latents"]
+    k_noise, k_t = jax.random.split(rng)
+    noise = jax.random.normal(k_noise, x.shape, dtype=jnp.float32)
+    weights = None
+    if getattr(mcfg, "timestep_bias_strategy", "none") != "none":
+        weights = S.generate_timestep_weights(
+            schedule.num_timesteps, mcfg.timestep_bias_strategy)
+    t = schedule.sample_timesteps(k_t, x.shape[0], weights=weights)
+
+    x32 = x.astype(jnp.float32)
+    noisy = schedule.add_noise(x32, noise, t)
+    pred = unet_apply(params, noisy, t, batch["prompt_embeds"],
+                      batch["pooled_prompt_embeds"], batch["time_ids"])
+    pred = pred.astype(jnp.float32)
+
+    if schedule.prediction_type == "v_prediction":
+        target = schedule.get_velocity(x32, noise, t)
+    else:
+        target = noise
+
+    mse = (pred - target) ** 2
+    if schedule.min_snr_gamma is not None:
+        w = schedule.min_snr_weight(t)
+        loss = jnp.mean(mse * w[:, None, None, None])
+    else:
+        loss = jnp.mean(mse)
+    loss = _apply_tag_weights(loss, batch)
+    loss = _finite_guard(loss)
+
+    tf = t.astype(jnp.float32)
+    metrics = {
+        "loss": loss,
+        "timestep_mean": jnp.mean(tf),
+        "timestep_std": jnp.std(tf),
+        "noise_scale": jnp.mean(jnp.abs(noise)),
+        "pred_scale": jnp.mean(jnp.abs(pred)),
+    }
+    return loss, metrics
+
+
+@register_method("flow_matching")
+def flow_matching_loss(unet_apply, params, batch, rng,
+                       schedule: S.NoiseSchedule, mcfg
+                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Optimal-transport flow matching with logit-normal time sampling.
+
+    Numerics of ``FlowMatchingTrainer._compute_loss_impl`` (``flow_matching_
+    trainer.py:267-352,373-419``): t ~ sigmoid(N(0,1)), x0 ~ N(0,I),
+    xt = (1-t)x0 + t*x1, v_true = x1 - x0, per-sample-mean MSE -> mean.
+    The UNet runs ONCE (the reference's double forward at ``:319+418`` is a
+    ledger defect we do not carry).
+    """
+    x1 = batch["vae_latents"].astype(jnp.float32)
+    k_t, k_x0 = jax.random.split(rng)
+    t = S.sample_logit_normal(k_t, (x1.shape[0],))
+    x0 = jax.random.normal(k_x0, x1.shape, dtype=jnp.float32)
+
+    xt = S.optimal_transport_path(x0, x1, t)
+    v_pred = unet_apply(params, xt, t, batch["prompt_embeds"],
+                        batch["pooled_prompt_embeds"], batch["time_ids"])
+    v_pred = v_pred.astype(jnp.float32)
+    v_true = S.flow_matching_target(x0, x1)
+
+    per_sample = jnp.mean((v_pred - v_true) ** 2, axis=(1, 2, 3))
+    loss = jnp.mean(per_sample)
+    loss = _apply_tag_weights(loss, batch)
+    loss = _finite_guard(loss)
+
+    metrics = {
+        "loss": loss,
+        "x0_norm": jnp.linalg.norm(x0.reshape(-1)),
+        "x1_norm": jnp.linalg.norm(x1.reshape(-1)),
+        "velocity_norm": jnp.linalg.norm(v_pred.reshape(-1)),
+        "time_mean": jnp.mean(t),
+        "time_std": jnp.std(t),
+    }
+    return loss, metrics

@@ -56,9 +56,9 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
     def init(params):
         leaves, treedef = jax.tree_util.tree_flatten(params)
         for p in leaves:
-            if p.dtype != jnp.bfloat16:
-                raise ValueError("adamw_bf16 requires bfloat16 params, got "
-                                 f"{p.dtype}")
+            if p.dtype not in (jnp.bfloat16, jnp.float32):
+                raise ValueError("adamw_bf16 requires bfloat16 (or float32 "
+                                 f"norm) params, got {p.dtype}")
         zeros = lambda p: jnp.zeros_like(p)
         key = jax.random.key(seed, impl=prng_impl)
         n = max(len(leaves), 1)
@@ -89,6 +89,16 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
         leaf_keys = jax.random.split(step_key, max(len(p_leaves), 1))
 
         def leaf_update(p, g, m, v, shift, acc_decay, key):
+            if p.dtype == jnp.float32:
+                # fp32 leaves (norm scales/biases) need no stochastic
+                # rounding: same update formula, exact arithmetic
+                g32 = g.astype(jnp.float32)
+                m = m * beta1 + (1.0 - beta1) * g32
+                v = v * beta2 + (1.0 - beta2) * g32 * g32
+                denom = jnp.sqrt(v) + eps
+                delta = (-cur_lr * denom_correction) * m / denom \
+                    - weight_decay * cur_lr * p
+                return delta, m, v, shift, acc_decay
             noise = jax.random.bits(key, (4,) + p.shape, jnp.uint32)
             g32 = g.astype(jnp.float32)
             m = add_stochastic_bits(m * beta1, g, noise[0], alpha=1.0 - beta1)

@@ -1,0 +1,144 @@
+"""The jitted train step + trainer loop.
+
+TPU-native replacement for the reference trainer stack (``SDXLTrainer`` +
+``DDPMTrainer``/``FlowMatchingTrainer``): one pure function
+``(state, batch) -> (state, metrics)`` compiled once per latent shape,
+containing
+
+* gradient accumulation as a ``lax.scan`` over micro-batches
+  (reference: python-level accumulate loop, ``ddpm_trainer.py:157-161``;
+  note the reference's DDPM path never calls ``optimizer.step()`` — ledger
+  defect, fixed here: every accumulation window ends in clip -> update),
+* global-norm clipping (``flow_matching_trainer.py:181-186``),
+* the optimizer update, and
+* metric reduction — gradient averaging across the data mesh axes is
+  inserted by XLA from the shardings (the DDP-allreduce equivalent,
+  SURVEY.md §2.6).
+
+The accumulation micro-loop keeps grads in fp32.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from sdxl_training_improvements_tpu.parallel import mesh as M
+from sdxl_training_improvements_tpu.training.methods import get_method
+from sdxl_training_improvements_tpu.training.schedules import NoiseSchedule
+
+
+class TrainState(NamedTuple):
+    step: chex.Array
+    params: chex.ArrayTree
+    opt_state: Any
+    rng: chex.PRNGKey
+
+
+def create_train_state(params, optimizer: optax.GradientTransformation,
+                       seed: int = 42) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params),
+                      rng=jax.random.key(seed))
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in jax.tree_util.tree_leaves(tree)))
+
+
+def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
+                    optimizer: optax.GradientTransformation, config,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted step.
+
+    ``batch`` leaves are [global_batch, ...]; with gradient accumulation G
+    the leading dim must be divisible by G and is processed as G sequential
+    micro-batches of size global_batch//G (each sharded over the data axes).
+    """
+    loss_fn = get_method(config.training.method)
+    accum = max(1, config.training.gradient_accumulation_steps)
+    clip = config.training.clip_grad_norm
+    mcfg = config.model
+
+    def micro_loss(params, mb, rng):
+        loss, metrics = loss_fn(unet_apply, params, mb, rng, schedule, mcfg)
+        return loss, metrics
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        micro_keys = jax.random.split(step_rng, accum)
+
+        def reshape(x):
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        micro_batches = jax.tree.map(reshape, batch)
+
+        def scan_body(grads_acc, inp):
+            mb, k = inp
+            if mesh is not None:
+                mb = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, M.batch_sharding(mesh)), mb)
+            (loss, metrics), grads = grad_fn(state.params, mb, k)
+            grads = jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
+                                 grads_acc, grads)
+            return grads, (loss, metrics)
+
+        zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                                  state.params)
+        grads, (losses, metrics) = jax.lax.scan(
+            scan_body, zero_grads, (micro_batches, micro_keys))
+        grads = jax.tree.map(lambda g: g / accum, grads)
+
+        gnorm = global_norm(grads)
+        if clip is not None and clip > 0:
+            scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        out_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+        out_metrics["loss"] = jnp.mean(losses)
+        out_metrics["grad_norm"] = gnorm
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=rng)
+        return new_state, out_metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+# ------------------------------------------------------------------ sharding
+def shard_train_state(state: TrainState, mesh, shard_params: bool = False
+                      ) -> TrainState:
+    """Place the state on the mesh: params/opt-state replicated (DP) or
+    ZeRO-sharded over the fsdp axis; step/rng replicated.  jit then compiles
+    the matching collectives (computation follows data)."""
+    if not shard_params:
+        return jax.device_put(state, M.replicated(mesh))
+    fsdp = mesh.shape[M.FSDP_AXIS]
+
+    def placer(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return jax.device_put(x, M.replicated(mesh))
+        from jax.sharding import NamedSharding
+        return jax.device_put(
+            x, NamedSharding(mesh, M._fsdp_spec_for(x.shape, fsdp)))
+
+    # rng keys must stay replicated (typed PRNG keys can't shard usefully)
+    placed = jax.tree.map(placer, state, is_leaf=lambda x: False)
+    return placed._replace(rng=jax.device_put(state.rng, M.replicated(mesh)),
+                           step=jax.device_put(state.step, M.replicated(mesh)))
+
+
+def shard_batch(batch, mesh):
+    return jax.device_put(batch, M.batch_sharding(mesh))

@@ -23,6 +23,12 @@ try:
 except Exception:
     pass  # older jax: XLA_FLAGS above covers it
 
+# Persistent compilation cache: the tiny-model train steps cost 30-150s of
+# XLA CPU compile each; caching them makes repeat suite runs minutes faster.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -84,10 +84,25 @@ def quadratic_losses(opt, dtype, steps=200, lr_check=True):
 
 
 class TestAdamWBF16:
-    def test_requires_bf16(self):
+    def test_rejects_fp16(self):
         opt = adamw_bf16(lr=0.1)
         with pytest.raises(ValueError, match="bfloat16"):
-            opt.init({"w": jnp.zeros((4,), jnp.float32)})
+            opt.init({"w": jnp.zeros((4,), jnp.float16)})
+
+    def test_fp32_norm_leaves_get_exact_path(self):
+        """Mixed trees: bf16 weights + fp32 norm params both update."""
+        import optax
+        opt = adamw_bf16(lr=0.1)
+        params = {"w": jnp.ones((4,), jnp.bfloat16),
+                  "scale": jnp.ones((4,), jnp.float32)}
+        state = opt.init(params)
+        g = {"w": jnp.ones((4,), jnp.bfloat16),
+             "scale": jnp.ones((4,), jnp.float32)}
+        upd, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+        assert params["scale"].dtype == jnp.float32
+        assert float(params["scale"][0]) < 1.0
+        assert float(params["w"].astype(jnp.float32)[0]) < 1.0
 
     def test_converges_on_quadratic(self):
         opt = adamw_bf16(lr=0.05, seed=0)

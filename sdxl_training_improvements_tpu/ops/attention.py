@@ -34,6 +34,20 @@ def dot_product_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
 
 @functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
+    """Pallas flash kernel opt-in.
+
+    Default OFF even on TPU: measured on this project's tunneled-TPU dev
+    environment, Mosaic custom calls execute through an emulated relay path
+    ~100x slower than native (jax's own pallas flash kernel shows the same
+    pathology: 42 ms vs XLA's 5 ms at S=4096, 5.5 s at S=1024), while XLA's
+    fused attention runs at native speed.  On hardware where Mosaic runs
+    natively, set ``SDXL_TPU_FLASH=1`` (or UNetConfig.use_pallas) to enable;
+    numerics are verified identical either way (tests/test_flash_attention).
+    """
+    import os
+    flag = os.environ.get("SDXL_TPU_FLASH", "0")
+    if flag != "1":
+        return False
     try:
         from sdxl_training_improvements_tpu.ops import flash_attention  # noqa: F401
         return jax.default_backend() == "tpu"
@@ -43,7 +57,7 @@ def _flash_available() -> bool:
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           use_pallas: bool = True) -> jnp.ndarray:
-    """Dispatch: Pallas flash attention on TPU, XLA reference elsewhere.
+    """Dispatch: Pallas flash attention (when enabled), XLA reference else.
 
     Self-attention sequences here are latent grids (4096 tokens at 1024²,
     up to 36864 at the 1536² bucket); cross-attention keys are 77 text

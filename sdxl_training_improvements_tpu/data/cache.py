@@ -1,0 +1,224 @@
+"""Disk cache for VAE latents + CLIP embeddings (host-side, numpy/npz).
+
+Functional counterpart of the reference ``CacheManager``
+(``src/data/preprocessing/cache_manager.py``), keeping its layout and
+semantics — MD5-of-path keys (``:726-729``), ``cache/latents/{vae,clip,
+metadata}`` + ``cache/tags`` tree (``:62-81``), zlib-compressed JSON index
+with atomic tmp+rename writes (``:613-699``), full rebuild from a disk scan
+(``:110-245``), verification with pruning (``:837-941``) — re-designed for
+the TPU pipeline:
+
+* tensors are stored as ``.npz`` numpy archives (framework-neutral, mmap-able)
+  instead of torch ``.pt`` pickles;
+* the index is only rewritten every ``index_save_every`` inserts + on
+  ``flush()`` (the reference rewrote the full index per image — flagged HOT
+  in SURVEY.md §3.4);
+* loads return numpy arrays ready for ``jax.device_put`` batching.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import threading
+import zlib
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+INDEX_NAME = "cache_index.json.zlib"
+
+
+class CacheManager:
+    def __init__(self, cache_dir, index_save_every: int = 256):
+        self.cache_dir = Path(cache_dir)
+        self.vae_dir = self.cache_dir / "latents" / "vae"
+        self.clip_dir = self.cache_dir / "latents" / "clip"
+        self.meta_dir = self.cache_dir / "latents" / "metadata"
+        self.tags_dir = self.cache_dir / "tags"
+        for d in (self.vae_dir, self.clip_dir, self.meta_dir, self.tags_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        self.index_path = self.cache_dir / INDEX_NAME
+        self._lock = threading.Lock()
+        self._dirty = 0
+        self.index_save_every = index_save_every
+        self.index: Dict[str, dict] = self._load_index()
+
+    # ----------------------------------------------------------------- keys
+    @staticmethod
+    def get_cache_key(path) -> str:
+        """MD5 of the (posix-normalised) path — reference ``:726-729``."""
+        return hashlib.md5(str(Path(path).as_posix()).encode()).hexdigest()
+
+    # ---------------------------------------------------------------- index
+    def _load_index(self) -> Dict[str, dict]:
+        if not self.index_path.exists():
+            # fresh dir -> empty; missing index over existing data -> rescan
+            return self.rebuild_index() if any(self.vae_dir.glob("*.npz")) else {}
+        try:
+            blob = self.index_path.read_bytes()
+            return json.loads(zlib.decompress(blob).decode())
+        except Exception:
+            return self.rebuild_index()
+
+    def _save_index_locked(self) -> None:
+        blob = zlib.compress(json.dumps(self.index).encode())
+        tmp = self.index_path.with_suffix(".tmp")
+        tmp.write_bytes(blob)
+        os.replace(tmp, self.index_path)
+        self._dirty = 0
+
+    def flush(self) -> None:
+        with self._lock:
+            self._save_index_locked()
+
+    def rebuild_index(self) -> Dict[str, dict]:
+        """Disk scan -> fresh index (reference ``rebuild_cache_index``)."""
+        index: Dict[str, dict] = {}
+        for npz in self.vae_dir.glob("*.npz"):
+            key = npz.stem
+            entry: dict = {"vae": True}
+            meta_path = self.meta_dir / f"{key}.json"
+            if meta_path.exists():
+                try:
+                    entry.update(json.loads(meta_path.read_text()))
+                except Exception:
+                    pass
+            entry["clip"] = (self.clip_dir / f"{key}.npz").exists()
+            index[key] = entry
+        with self._lock:
+            self.index = index
+            self._save_index_locked()
+        return index
+
+    # ---------------------------------------------------------------- save
+    def save_latents(self, key: str, *, vae_latents: np.ndarray,
+                     time_ids: np.ndarray,
+                     prompt_embeds: Optional[np.ndarray] = None,
+                     pooled_prompt_embeds: Optional[np.ndarray] = None,
+                     metadata: Optional[dict] = None) -> None:
+        """Atomic npz + metadata + (batched) index update
+        (reference ``save_latents`` ``:289-402``)."""
+        def atomic_npz(path: Path, **arrs):
+            tmp = path.with_suffix(".tmp.npz")
+            np.savez(tmp, **arrs)
+            os.replace(tmp, path)
+
+        atomic_npz(self.vae_dir / f"{key}.npz",
+                   vae_latents=np.asarray(vae_latents),
+                   time_ids=np.asarray(time_ids))
+        has_clip = prompt_embeds is not None
+        if has_clip:
+            atomic_npz(self.clip_dir / f"{key}.npz",
+                       prompt_embeds=np.asarray(prompt_embeds),
+                       pooled_prompt_embeds=np.asarray(pooled_prompt_embeds))
+        meta = dict(metadata or {})
+        meta_path = self.meta_dir / f"{key}.json"
+        tmp = meta_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(meta))
+        os.replace(tmp, meta_path)
+
+        with self._lock:
+            entry = {"vae": True, "clip": has_clip, **meta}
+            entry["latent_shape"] = list(np.asarray(vae_latents).shape)
+            self.index[key] = entry
+            self._dirty += 1
+            if self._dirty >= self.index_save_every:
+                self._save_index_locked()
+
+    # ---------------------------------------------------------------- load
+    def load_latents(self, key: str) -> Optional[dict]:
+        """Returns {vae_latents, time_ids, prompt_embeds?, pooled?, metadata}
+        as numpy arrays, or None on miss (reference ``load_tensors``)."""
+        vae_path = self.vae_dir / f"{key}.npz"
+        if not vae_path.exists():
+            return None
+        try:
+            out: dict = {}
+            with np.load(vae_path) as z:
+                out["vae_latents"] = z["vae_latents"]
+                out["time_ids"] = z["time_ids"]
+            clip_path = self.clip_dir / f"{key}.npz"
+            if clip_path.exists():
+                with np.load(clip_path) as z:
+                    out["prompt_embeds"] = z["prompt_embeds"]
+                    out["pooled_prompt_embeds"] = z["pooled_prompt_embeds"]
+            meta_path = self.meta_dir / f"{key}.json"
+            out["metadata"] = (json.loads(meta_path.read_text())
+                               if meta_path.exists() else {})
+            return out
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------- queries
+    def is_cached(self, path, require_clip: bool = True) -> bool:
+        key = self.get_cache_key(path)
+        entry = self.index.get(key)
+        if entry is None:
+            return False
+        return entry.get("vae", False) and (entry.get("clip", False)
+                                            or not require_clip)
+
+    def get_uncached_paths(self, paths: Iterable, require_clip: bool = True
+                           ) -> List:
+        """Paths missing from the cache (reference ``:247-287``)."""
+        return [p for p in paths if not self.is_cached(p, require_clip)]
+
+    def cached_entry(self, path) -> Optional[dict]:
+        return self.index.get(self.get_cache_key(path))
+
+    # -------------------------------------------------------------- verify
+    def verify_and_prune(self) -> Tuple[int, int]:
+        """Check files behind every index entry; drop broken ones.
+        Returns (valid, pruned) — reference ``verify_and_rebuild_cache``."""
+        valid = pruned = 0
+        with self._lock:
+            for key in list(self.index):
+                ok = (self.vae_dir / f"{key}.npz").exists()
+                if ok and self.index[key].get("clip"):
+                    ok = (self.clip_dir / f"{key}.npz").exists()
+                if ok:
+                    try:
+                        with np.load(self.vae_dir / f"{key}.npz") as z:
+                            _ = z["vae_latents"].shape
+                    except Exception:
+                        ok = False
+                if ok:
+                    valid += 1
+                else:
+                    self.index.pop(key)
+                    pruned += 1
+                    for d, suffix in ((self.vae_dir, ".npz"),
+                                      (self.clip_dir, ".npz"),
+                                      (self.meta_dir, ".json")):
+                        f = d / f"{key}{suffix}"
+                        if f.exists():
+                            f.unlink()
+            self._save_index_locked()
+        return valid, pruned
+
+    # ----------------------------------------------------------------- tags
+    def save_tag_index(self, data: dict) -> None:
+        tmp = self.tags_dir / "tag_index.tmp"
+        tmp.write_text(json.dumps(data))
+        os.replace(tmp, self.tags_dir / "tag_index.json")
+
+    def load_tag_index(self) -> Optional[dict]:
+        p = self.tags_dir / "tag_index.json"
+        if not p.exists():
+            return None
+        try:
+            return json.loads(p.read_text())
+        except Exception:
+            return None
+
+    # pickling (dataloader workers): drop the lock like the reference ``:95-108``
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_lock")
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()

@@ -1,0 +1,232 @@
+"""Aspect-bucketed dataset + precompute stage (host-side).
+
+Counterpart of the reference ``AspectBucketDataset`` (``src/data/dataset.py``)
+with the architectural fix SURVEY.md §1 calls for: the reference dataset
+*owns live VAE/CLIP models* and encodes inside ``__getitem__``
+(``dataset.py:102-107,615-668``) — here preprocessing is a distinct host-side
+stage (``precompute``) that *consumes* jit-compiled encoder functions, writes
+the cache, and training batches are pure cache reads (numpy) ready for
+``jax.device_put``.
+
+Batch contract matches the reference trainers (``ddpm_trainer.py:284-296``):
+``vae_latents`` [B,C,h,w], ``prompt_embeds`` [B,77,2048],
+``pooled_prompt_embeds`` [B,1280], ``time_ids`` [B,6], plus optional
+``tag_weights`` [B].
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sdxl_training_improvements_tpu.data.buckets import (
+    Bucket, assign_bucket, generate_buckets)
+from sdxl_training_improvements_tpu.data.cache import CacheManager
+from sdxl_training_improvements_tpu.data.paths import load_data_from_directory
+from sdxl_training_improvements_tpu.data.samplers import BucketBatchSampler
+from sdxl_training_improvements_tpu.data.tags import (
+    TagWeighter, create_tag_weighter_with_index)
+
+
+def prepare_image_array(img, bucket: Bucket, center_crop: bool = True,
+                        flip: bool = False) -> Tuple[np.ndarray, Tuple[int, int],
+                                                     Tuple[int, int]]:
+    """PIL image -> float32 CHW in [-1, 1] at bucket dims, plus
+    (original_size, crop_top_left) for SDXL conditioning
+    (reference ``_prepare_image_tensor`` ``dataset.py:494-525`` +
+    ``_compute_time_ids`` ``:378-392``)."""
+    from PIL import Image
+
+    orig_w, orig_h = img.size
+    tw, th = bucket.width, bucket.height
+    # scale preserving aspect so the short side covers the target, then crop
+    scale = max(tw / orig_w, th / orig_h)
+    rw, rh = max(tw, int(round(orig_w * scale))), max(th, int(round(orig_h * scale)))
+    img = img.convert("RGB").resize((rw, rh), Image.LANCZOS)
+    if center_crop:
+        left = (rw - tw) // 2
+        top = (rh - th) // 2
+    else:
+        left = np.random.randint(0, rw - tw + 1)
+        top = np.random.randint(0, rh - th + 1)
+    img = img.crop((left, top, left + tw, top + th))
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0  # HWC [-1,1]
+    return arr.transpose(2, 0, 1), (orig_h, orig_w), (top, left)
+
+
+def compute_time_ids(original_size: Tuple[int, int],
+                     crop_top_left: Tuple[int, int],
+                     target_size: Tuple[int, int]) -> np.ndarray:
+    """[6] = (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)."""
+    return np.array([*original_size, *crop_top_left, *target_size],
+                    dtype=np.float32)
+
+
+class AspectBucketDataset:
+    """Bucketed dataset over (image_path, caption) pairs with a latent cache."""
+
+    def __init__(self, config, image_paths: Sequence[str],
+                 captions: Sequence[str],
+                 cache_manager: Optional[CacheManager] = None,
+                 tag_weighter: Optional[TagWeighter] = None,
+                 buckets: Optional[List[Bucket]] = None):
+        assert len(image_paths) == len(captions)
+        self.config = config
+        self.image_paths = list(image_paths)
+        self.captions = list(captions)
+        self.cache = cache_manager
+        self.tag_weighter = tag_weighter
+        self.buckets = buckets if buckets is not None else generate_buckets(config)
+        self._bucket_of: Dict[int, Bucket] = {}
+        self.bucket_indices: Dict[Tuple[int, int], List[int]] = {}
+        self._assign_all()
+
+    # ----------------------------------------------------------- assignment
+    def _image_size(self, idx: int) -> Optional[Tuple[int, int]]:
+        """(w, h) from cache metadata if present, else PIL header
+        (cache-first like reference ``group_images_by_bucket``)."""
+        if self.cache is not None:
+            entry = self.cache.cached_entry(self.image_paths[idx])
+            if entry and "original_size" in entry:
+                h, w = entry["original_size"]
+                return (w, h)
+        try:
+            from PIL import Image
+            with Image.open(self.image_paths[idx]) as im:
+                return im.size
+        except Exception:
+            return None
+
+    def _assign_all(self) -> None:
+        for i in range(len(self.image_paths)):
+            size = self._image_size(i)
+            if size is None:
+                continue
+            b = assign_bucket(size, self.buckets)
+            if b is None:
+                continue
+            self._bucket_of[i] = b
+            lw, lh = b.latent_dims
+            self.bucket_indices.setdefault((lh, lw), []).append(i)
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    # ----------------------------------------------------------- precompute
+    def precompute(self, encode_images: Callable, encode_prompts: Callable,
+                   batch_size: int = 8, center_crop: bool = True,
+                   progress: Optional[Callable[[int, int], None]] = None) -> int:
+        """Encode all uncached images through the supplied device functions.
+
+        ``encode_images(pixels_f32_nchw) -> latents``;
+        ``encode_prompts(list[str]) -> {prompt_embeds, pooled_prompt_embeds}``.
+        Batches are bucket-homogeneous.  Returns number of newly cached items.
+        (Reference ``_precompute_latents`` ``dataset.py:403-492`` — including
+        its caption-misalignment defect fix: captions are looked up by index,
+        never zipped against a filtered list.)
+        """
+        if self.cache is None:
+            raise ValueError("precompute requires a CacheManager")
+        from PIL import Image
+
+        todo_by_bucket: Dict[Tuple[int, int], List[int]] = {}
+        for key, idxs in self.bucket_indices.items():
+            todo = [i for i in idxs
+                    if not self.cache.is_cached(self.image_paths[i])]
+            if todo:
+                todo_by_bucket[key] = todo
+
+        total = sum(len(v) for v in todo_by_bucket.values())
+        done = 0
+        for (lh, lw), idxs in todo_by_bucket.items():
+            for start in range(0, len(idxs), batch_size):
+                chunk = idxs[start:start + batch_size]
+                arrs, metas, caps, ok_idx = [], [], [], []
+                for i in chunk:
+                    b = self._bucket_of[i]
+                    try:
+                        with Image.open(self.image_paths[i]) as im:
+                            arr, orig, crop = prepare_image_array(
+                                im, b, center_crop=center_crop)
+                    except Exception:
+                        continue
+                    tids = compute_time_ids(orig, crop, (b.height, b.width))
+                    arrs.append(arr)
+                    ok_idx.append(i)
+                    metas.append({"original_size": list(orig),
+                                  "crop_top_left": list(crop),
+                                  "target_size": [b.height, b.width],
+                                  "caption": self.captions[i],
+                                  "time_ids": tids})
+                    caps.append(self.captions[i])
+                if not arrs:
+                    continue
+                pixels = np.stack(arrs)
+                latents = np.asarray(encode_images(pixels))
+                enc = encode_prompts(caps)
+                pe = np.asarray(enc["prompt_embeds"])
+                pooled = np.asarray(enc["pooled_prompt_embeds"])
+                for j, i in enumerate(ok_idx):
+                    meta = metas[j]
+                    self.cache.save_latents(
+                        self.cache.get_cache_key(self.image_paths[i]),
+                        vae_latents=latents[j],
+                        time_ids=meta.pop("time_ids"),
+                        prompt_embeds=pe[j],
+                        pooled_prompt_embeds=pooled[j],
+                        metadata=meta)
+                    done += 1
+                if progress:
+                    progress(done, total)
+        self.cache.flush()
+        return done
+
+    # -------------------------------------------------------------- batches
+    def get_batch(self, indices: Sequence[int]) -> Optional[Dict[str, np.ndarray]]:
+        """Stack cached tensors for a bucket-homogeneous index list."""
+        if self.cache is None:
+            raise ValueError("get_batch requires a CacheManager")
+        items = []
+        caps = []
+        for i in indices:
+            data = self.cache.load_latents(
+                self.cache.get_cache_key(self.image_paths[i]))
+            if data is None or "prompt_embeds" not in data:
+                continue  # reference collate drops invalid items
+            items.append(data)
+            caps.append(self.captions[i])
+        if not items:
+            return None
+        batch = {
+            "vae_latents": np.stack([d["vae_latents"] for d in items]),
+            "prompt_embeds": np.stack([d["prompt_embeds"] for d in items]),
+            "pooled_prompt_embeds": np.stack(
+                [d["pooled_prompt_embeds"] for d in items]),
+            "time_ids": np.stack([d["time_ids"] for d in items]),
+        }
+        if self.tag_weighter is not None:
+            batch["tag_weights"] = self.tag_weighter.get_batch_weights(caps)
+        return batch
+
+    def make_sampler(self, batch_size: int, seed: int = 0, shuffle: bool = True,
+                     num_shards: int = 1, shard: int = 0) -> BucketBatchSampler:
+        return BucketBatchSampler(self.bucket_indices, batch_size,
+                                  shuffle=shuffle, seed=seed,
+                                  num_shards=num_shards, shard=shard)
+
+
+def create_dataset(config, cache_manager: Optional[CacheManager] = None,
+                   tag_weighter: Optional[TagWeighter] = None
+                   ) -> AspectBucketDataset:
+    """Directory scan -> dataset (reference ``create_dataset``
+    ``dataset.py:670-698``)."""
+    image_paths, captions = load_data_from_directory(config.data.train_data_dir)
+    if cache_manager is None and config.global_config.cache.use_cache:
+        cache_manager = CacheManager(config.global_config.cache.cache_dir)
+    if tag_weighter is None:
+        tag_weighter = create_tag_weighter_with_index(config, captions,
+                                                      cache_manager)
+    return AspectBucketDataset(config, image_paths, captions, cache_manager,
+                               tag_weighter)

@@ -1,0 +1,74 @@
+"""Host->device input pipeline: per-bucket batching with double-buffered
+device transfer.
+
+TPU replacement for the reference's torch DataLoader + pinned-memory
+streams (``src/main.py:66-70``, ``src/data/utils/tensor_utils.py``): batches
+are assembled on host (numpy), then ``jax.device_put`` with the mesh batch
+sharding one step ahead of consumption so the transfer overlaps the previous
+train step (the reference's dual-stream prefetch, TPU-style).
+"""
+from __future__ import annotations
+
+import collections
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from sdxl_training_improvements_tpu.parallel import mesh as M
+
+
+def batches_for_epoch(dataset, batch_size: int, epoch: int = 0, seed: int = 0,
+                      num_shards: int = 1, shard: int = 0
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    """Host-side batch iterator (bucket-homogeneous, reference contract)."""
+    sampler = dataset.make_sampler(batch_size, seed=seed,
+                                   num_shards=num_shards, shard=shard)
+    sampler.set_epoch(epoch)
+    for indices in sampler:
+        batch = dataset.get_batch(indices)
+        if batch is None or batch["vae_latents"].shape[0] < batch_size:
+            continue  # drop ragged/invalid batches (uniform shapes for XLA)
+        yield batch
+
+
+def prefetch_to_device(batch_iter, mesh=None, prefetch: int = 2,
+                       background: bool = True):
+    """Double-buffered transfer: yields device-resident batches.
+
+    With ``background=True`` host batch assembly runs in a worker thread
+    (IO + np.stack overlap compute), and up to ``prefetch`` device_puts are
+    in flight ahead of the consumer.
+    """
+    put = (lambda b: jax.device_put(b, M.batch_sharding(mesh))) if mesh is not None \
+        else jax.device_put
+
+    if not background:
+        buf = collections.deque()
+        for batch in batch_iter:
+            buf.append(put(batch))
+            if len(buf) > prefetch:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+        return
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(prefetch, 1))
+    _END = object()
+
+    def worker():
+        try:
+            for batch in batch_iter:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

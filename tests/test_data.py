@@ -1,0 +1,345 @@
+"""Data pipeline tests: buckets, sampler, cache, tags, dataset, prefetch
+(SURVEY.md §4 unit/data: determinism, shape-uniformity, cache round-trip)."""
+import numpy as np
+import pytest
+
+from sdxl_training_improvements_tpu.config import Config
+from sdxl_training_improvements_tpu.data.buckets import (
+    Bucket, assign_bucket, generate_buckets, group_images_by_bucket,
+    supported_dims_buckets, validate_bucket)
+from sdxl_training_improvements_tpu.data.cache import CacheManager
+from sdxl_training_improvements_tpu.data.paths import (
+    convert_windows_path, is_windows_path, load_data_from_directory)
+from sdxl_training_improvements_tpu.data.samplers import BucketBatchSampler
+from sdxl_training_improvements_tpu.data.tags import (
+    TagWeighter, categorize_tag, create_tag_weighter_with_index, extract_tags)
+
+
+class TestBuckets:
+    def test_dims_rounded_to_8(self):
+        b = Bucket.from_dims(1023, 511)
+        assert b.width % 8 == 0 and b.height % 8 == 0
+        assert b.latent_dims == (b.width // 8, b.height // 8)
+
+    def test_generation_deterministic(self):
+        cfg = Config()
+        b1 = generate_buckets(cfg)
+        b2 = generate_buckets(cfg)
+        assert [x.pixel_dims for x in b1] == [x.pixel_dims for x in b2]
+        assert len(b1) > 10
+
+    def test_generated_respect_aspect_limit(self):
+        cfg = Config()
+        for b in generate_buckets(cfg):
+            ar = b.aspect_ratio
+            limit = cfg.global_config.image.max_aspect_ratio * 1.2
+            assert 1 / limit <= ar <= limit + 1e-9
+
+    def test_dedup_similarity(self):
+        cfg = Config()
+        buckets = generate_buckets(cfg)
+        for i, a in enumerate(buckets):
+            for b in buckets[i + 1:]:
+                size_diff = abs(b.total_pixels - a.total_pixels) / b.total_pixels
+                aspect_diff = abs(b.aspect_ratio - a.aspect_ratio)
+                assert not (size_diff < 0.1 and aspect_diff < 0.1)
+
+    def test_assignment_square(self):
+        buckets = supported_dims_buckets(Config())
+        b = assign_bucket((1024, 1024), buckets)
+        assert b.pixel_dims == (1024, 1024)
+
+    def test_assignment_portrait(self):
+        buckets = supported_dims_buckets(Config())
+        b = assign_bucket((800, 1200), buckets)
+        assert b.aspect_ratio < 1  # portrait stays portrait
+
+    def test_assignment_fallback_closest_ar(self):
+        buckets = [Bucket.from_dims(64, 64, 0), Bucket.from_dims(128, 64, 1)]
+        # far outside tolerances -> closest AR fallback
+        b = assign_bucket((5000, 2500), buckets)
+        assert b.index == 1
+
+    def test_invalid_size(self):
+        assert assign_bucket((0, 100), supported_dims_buckets(Config())) is None
+
+    def test_grouping(self):
+        buckets = supported_dims_buckets(Config())
+        groups = group_images_by_bucket(
+            {"a.png": (1024, 1024), "b.png": (1020, 1030),
+             "c.png": (640, 1536)}, buckets)
+        assert sum(len(v) for v in groups.values()) == 3
+        assert (128, 128) in groups and len(groups[(128, 128)]) == 2
+
+    def test_validate_bucket(self):
+        cfg = Config().global_config.image
+        ok, _ = validate_bucket(Bucket.from_dims(1024, 1024), cfg)
+        assert ok
+        ok, msg = validate_bucket(Bucket(100, 8000, 0), cfg)
+        assert not ok
+
+
+class TestSampler:
+    def make(self, **kw):
+        return BucketBatchSampler(
+            {(64, 64): list(range(10)), (64, 96): list(range(10, 17))},
+            batch_size=4, seed=1, **kw)
+
+    def test_shape_uniform_batches(self):
+        s = self.make()
+        for bucket, batch in s.iter_with_buckets():
+            assert len(batch) == 4
+            first_bucket = (64, 64) if batch[0] < 10 else (64, 96)
+            assert all(((64, 64) if i < 10 else (64, 96)) == first_bucket
+                       for i in batch)
+
+    def test_drop_last(self):
+        s = self.make()
+        assert len(s) == 2 + 1  # 10//4 + 7//4
+
+    def test_epoch_determinism(self):
+        s = self.make()
+        s.set_epoch(3)
+        a = list(s)
+        s2 = self.make()
+        s2.set_epoch(3)
+        assert a == list(s2)
+        s.set_epoch(4)
+        assert a != list(s)
+
+    def test_sharding_partitions(self):
+        full = {tuple(b) for b in
+                map(tuple, self.make(num_shards=1, shard=0))}
+        sh0 = list(map(tuple, self.make(num_shards=2, shard=0)))
+        sh1 = list(map(tuple, self.make(num_shards=2, shard=1)))
+        assert set(sh0) | set(sh1) <= full
+        assert not (set(sh0) & set(sh1))
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            BucketBatchSampler({}, batch_size=0)
+        with pytest.raises(ValueError):
+            BucketBatchSampler({}, batch_size=1, num_shards=2, shard=2)
+
+
+class TestCache:
+    def test_roundtrip(self, tmp_path):
+        cm = CacheManager(tmp_path / "cache")
+        key = cm.get_cache_key("/data/img.png")
+        cm.save_latents(key, vae_latents=np.ones((4, 8, 8), np.float32),
+                        time_ids=np.arange(6, dtype=np.float32),
+                        prompt_embeds=np.ones((77, 64), np.float32),
+                        pooled_prompt_embeds=np.ones((80,), np.float32),
+                        metadata={"caption": "hi", "original_size": [16, 16]})
+        out = cm.load_latents(key)
+        np.testing.assert_array_equal(out["vae_latents"], 1.0)
+        np.testing.assert_array_equal(out["time_ids"],
+                                      np.arange(6, dtype=np.float32))
+        assert out["metadata"]["caption"] == "hi"
+        assert cm.is_cached("/data/img.png")
+        assert not cm.is_cached("/data/other.png")
+
+    def test_index_persists(self, tmp_path):
+        cm = CacheManager(tmp_path / "cache")
+        key = cm.get_cache_key("x.png")
+        cm.save_latents(key, vae_latents=np.zeros((4, 4, 4)),
+                        time_ids=np.zeros(6))
+        cm.flush()
+        cm2 = CacheManager(tmp_path / "cache")
+        assert cm2.is_cached("x.png", require_clip=False)
+
+    def test_rebuild_from_disk(self, tmp_path):
+        cm = CacheManager(tmp_path / "cache")
+        key = cm.get_cache_key("x.png")
+        cm.save_latents(key, vae_latents=np.zeros((4, 4, 4)),
+                        time_ids=np.zeros(6), metadata={"caption": "c"})
+        cm.flush()
+        (tmp_path / "cache" / "cache_index.json.zlib").unlink()
+        cm2 = CacheManager(tmp_path / "cache")
+        assert key in cm2.index
+
+    def test_verify_prunes_corrupt(self, tmp_path):
+        cm = CacheManager(tmp_path / "cache")
+        k1, k2 = cm.get_cache_key("a"), cm.get_cache_key("b")
+        for k in (k1, k2):
+            cm.save_latents(k, vae_latents=np.zeros((4, 4, 4)),
+                            time_ids=np.zeros(6))
+        (cm.vae_dir / f"{k2}.npz").write_bytes(b"corrupt")
+        valid, pruned = cm.verify_and_prune()
+        assert valid == 1 and pruned == 1
+        assert k2 not in cm.index
+
+    def test_uncached_paths(self, tmp_path):
+        cm = CacheManager(tmp_path / "cache")
+        cm.save_latents(cm.get_cache_key("a"),
+                        vae_latents=np.zeros((4, 4, 4)), time_ids=np.zeros(6),
+                        prompt_embeds=np.zeros((77, 8)),
+                        pooled_prompt_embeds=np.zeros(8))
+        assert cm.get_uncached_paths(["a", "b"]) == ["b"]
+
+    def test_tag_index_roundtrip(self, tmp_path):
+        cm = CacheManager(tmp_path / "cache")
+        cm.save_tag_index({"x": 1})
+        assert cm.load_tag_index() == {"x": 1}
+
+
+class TestTags:
+    def test_categorize(self):
+        assert categorize_tag("style:impressionist") == "style"
+        assert categorize_tag("masterpiece") == "quality"
+        assert categorize_tag("bokeh") == "technical"
+        assert categorize_tag("watermark") == "meta"
+        assert categorize_tag("a red fox") == "subject"
+        assert categorize_tag("oil painting") == "style"
+
+    def test_extract(self):
+        tags = extract_tags("a cat, masterpiece, style:anime , ")
+        assert "a cat" in tags["subject"]
+        assert "masterpiece" in tags["quality"]
+        assert "anime" in tags["style"]
+
+    def test_inverse_frequency(self):
+        tw = TagWeighter()
+        caps = ["common tag"] * 99 + ["rare creature"]
+        tw.update_statistics(caps)
+        assert (tw.tag_weights["subject"]["rare creature"]
+                > tw.tag_weights["subject"]["common tag"])
+
+    def test_weights_clamped(self):
+        tw = TagWeighter(min_weight=0.5, max_weight=2.0)
+        tw.update_statistics(["a"] * 1000 + ["b"])
+        for cat in tw.tag_weights.values():
+            for w in cat.values():
+                assert 0.5 <= w <= 2.0
+
+    def test_caption_weight_geometric_mean(self):
+        tw = TagWeighter()
+        tw.tag_weights["subject"]["cat"] = 2.0
+        tw.tag_weights["quality"]["masterpiece"] = 0.5
+        w = tw.get_caption_weight("cat, masterpiece")
+        np.testing.assert_allclose(w, np.sqrt(2.0 * 0.5), rtol=1e-5)
+
+    def test_default_weight_empty(self):
+        assert TagWeighter(default_weight=1.5).get_caption_weight("") == 1.5
+
+    def test_index_roundtrip(self):
+        tw = TagWeighter()
+        tw.update_statistics(["cat, dog", "cat"])
+        tw2 = TagWeighter.from_index(tw.to_index())
+        assert tw2.get_caption_weight("cat, dog") == tw.get_caption_weight("cat, dog")
+
+    def test_factory_disabled(self):
+        cfg = Config()
+        assert create_tag_weighter_with_index(cfg, ["x"]) is None
+
+    def test_bad_range(self):
+        with pytest.raises(ValueError):
+            TagWeighter(min_weight=0, max_weight=1)
+
+
+class TestPaths:
+    def test_windows_conversion(self):
+        assert is_windows_path("D:\\work\\x")
+        assert str(convert_windows_path("D:\\work\\x")) == "/mnt/d/work/x"
+        assert str(convert_windows_path("/normal/path")) == "/normal/path"
+
+    def test_load_directory(self, tmp_path):
+        from PIL import Image
+        img = Image.new("RGB", (32, 16))
+        img.save(tmp_path / "a.png")
+        (tmp_path / "a.txt").write_text("a caption")
+        img.save(tmp_path / "b.jpg")
+        paths, captions = load_data_from_directory(str(tmp_path))
+        assert len(paths) == 2
+        assert captions[0] == "a caption"
+        assert captions[1] == ""
+
+    def test_missing_dir(self):
+        paths, captions = load_data_from_directory("/nonexistent/xyz")
+        assert paths == [] and captions == []
+
+
+@pytest.fixture
+def image_dataset(tmp_path):
+    """Small synthetic dataset with a reference-style config."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    sizes = [(64, 64), (64, 64), (48, 96), (96, 48), (64, 64)]
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+        (tmp_path / f"img{i}.txt").write_text(f"caption {i}, masterpiece")
+    cfg = Config()
+    cfg.data.train_data_dir = [str(tmp_path)]
+    cfg.global_config.cache.cache_dir = str(tmp_path / "cache")
+    cfg.global_config.image.supported_dims = [[64, 64], [48, 96], [96, 48]]
+    cfg.global_config.image.min_size = [32, 32]
+    cfg.global_config.image.max_size = [128, 128]
+    cfg.global_config.image.target_size = [64, 64]
+    return cfg, tmp_path
+
+
+class TestDataset:
+    def test_end_to_end_precompute_and_batch(self, image_dataset):
+        cfg, tmp_path = image_dataset
+        from sdxl_training_improvements_tpu.data.buckets import supported_dims_buckets
+        from sdxl_training_improvements_tpu.data.dataset import create_dataset, AspectBucketDataset
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        from sdxl_training_improvements_tpu.data.paths import load_data_from_directory
+
+        paths, captions = load_data_from_directory(cfg.data.train_data_dir)
+        cm = CacheManager(cfg.global_config.cache.cache_dir)
+        ds = AspectBucketDataset(cfg, paths, captions, cm,
+                                 buckets=supported_dims_buckets(cfg))
+        assert len(ds) == 5
+        assert sum(len(v) for v in ds.bucket_indices.values()) == 5
+
+        # fake encoders: latents = mean-pooled 8x downsample
+        def encode_images(px):
+            b, c, h, w = px.shape
+            return px.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))[:, :4]
+
+        def encode_prompts(caps):
+            return {"prompt_embeds": np.zeros((len(caps), 77, 32), np.float32),
+                    "pooled_prompt_embeds": np.zeros((len(caps), 16), np.float32)}
+
+        n = ds.precompute(encode_images, encode_prompts, batch_size=2)
+        assert n == 5
+        # second precompute: everything cached
+        assert ds.precompute(encode_images, encode_prompts) == 0
+
+        sampler = ds.make_sampler(batch_size=2, seed=0)
+        batches = [ds.get_batch(idx) for idx in sampler]
+        assert batches and all(b is not None for b in batches)
+        b0 = batches[0]
+        assert b0["vae_latents"].shape[0] == 2
+        assert b0["vae_latents"].shape[1] == 3  # 3ch fake latents
+        assert b0["time_ids"].shape == (2, 6)
+        assert b0["prompt_embeds"].shape == (2, 77, 32)
+
+    def test_prefetch_to_device(self, image_dataset):
+        cfg, tmp_path = image_dataset
+        import jax
+        from sdxl_training_improvements_tpu.data.pipeline import prefetch_to_device
+
+        def gen():
+            for i in range(4):
+                yield {"x": np.full((2, 3), i, np.float32)}
+
+        out = list(prefetch_to_device(gen(), mesh=None, prefetch=2))
+        assert len(out) == 4
+        assert isinstance(out[0]["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(out[3]["x"]), 3.0)
+
+    def test_prepare_image_array(self):
+        from PIL import Image
+        from sdxl_training_improvements_tpu.data.dataset import (
+            Bucket, prepare_image_array)
+        img = Image.new("RGB", (100, 50), (255, 0, 0))
+        arr, orig, crop = prepare_image_array(img, Bucket.from_dims(64, 32))
+        assert arr.shape == (3, 32, 64)
+        assert arr.max() <= 1.0 and arr.min() >= -1.0
+        assert orig == (50, 100)
+        # red channel ~1, green/blue ~-1
+        np.testing.assert_allclose(arr[0], 1.0, atol=0.02)
+        np.testing.assert_allclose(arr[1], -1.0, atol=0.02)

@@ -1,0 +1,213 @@
+"""HF/diffusers safetensors <-> flax param tree conversion.
+
+The reference loads SDXL from HF fp16 safetensors via diffusers
+(``src/models/sdxl.py:25-31``) and exports a diffusers-layout checkpoint
+(``save_pretrained`` ``:246-288``).  This module provides the same interop
+for the flax models: because every flax module here mirrors diffusers'
+naming (``models/layers.py`` docstring), conversion is a deterministic
+name translation plus layout transposes:
+
+* Linear ``weight`` [out, in]      -> ``kernel`` [in, out]
+* Conv   ``weight`` OIHW           -> ``kernel`` HWIO
+* Norm   ``weight``                -> ``scale``
+* Embedding ``weight``             -> ``embedding`` (no transpose)
+
+Checkpoint directory layout (diffusers-compatible): ``unet/``, ``vae/``,
+``text_encoder/``, ``text_encoder_2/`` each with
+``diffusion_pytorch_model.safetensors`` / ``model.safetensors``.
+"""
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Dict, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# module-name segments that are "indexed": foo_3 -> foo.3 in diffusers
+_INDEXED = (
+    "down_blocks", "up_blocks", "resnets", "attentions", "downsamplers",
+    "upsamplers", "transformer_blocks", "to_out", "net", "layers",
+)
+
+
+def _flax_seg_to_hf(seg: str) -> str:
+    """'down_blocks_1_attentions_0' -> 'down_blocks.1.attentions.0';
+    'mlp_fc1' -> 'mlp.fc1'; plain names (conv_in, time_embedding, ...) pass
+    through unchanged."""
+    if seg.startswith("mlp_fc"):
+        return "mlp." + seg[4:]
+    out = (seg.replace("mid_block_resnets", "mid_block.resnets")
+              .replace("mid_block_attentions", "mid_block.attentions"))
+    for name in _INDEXED:
+        out = re.sub(rf"{name}_(\d+)", rf"{name}.\1", out)
+    # bridge '<idx>_<name>' joints left by compound segments
+    out = re.sub(r"(\d)_([A-Za-z])", r"\1.\2", out)
+    return out
+
+
+def _leaf_to_hf(flax_path: Tuple[str, ...], value) -> Tuple[str, np.ndarray]:
+    """(flax path, array) -> (diffusers key, torch-layout array)."""
+    *mods, leaf = [p for p in flax_path if p != "params"]
+    hf_mods = [_flax_seg_to_hf(m) for m in mods]
+    arr = np.asarray(value)
+    if leaf == "kernel":
+        if arr.ndim == 4:  # HWIO -> OIHW
+            arr = arr.transpose(3, 2, 0, 1)
+        elif arr.ndim == 2:  # [in, out] -> [out, in]
+            arr = arr.T
+        name = "weight"
+    elif leaf == "scale":
+        name = "weight"
+    elif leaf == "embedding":
+        name = "weight"
+    elif leaf == "bias":
+        name = "bias"
+    else:  # bare param (e.g. position_embedding) stored directly
+        hf_mods.append(_flax_seg_to_hf(leaf))
+        name = "weight"
+    return ".".join(hf_mods + [name]), arr
+
+
+def _hf_from_leaf(hf_key: str, arr: np.ndarray, leaf: str) -> np.ndarray:
+    if leaf == "kernel":
+        if arr.ndim == 4:  # OIHW -> HWIO
+            return arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:
+            return arr.T
+    return arr
+
+
+# --------------------------------------------------------------------------
+# generic tree <-> state-dict
+# --------------------------------------------------------------------------
+
+def flax_to_hf_state(params, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flax param tree -> diffusers-style state dict."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, value in flat:
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        hf_key, arr = _leaf_to_hf(keys, value)
+        out[prefix + hf_key] = arr
+    return out
+
+
+def hf_to_flax_params(template, state: Dict[str, np.ndarray], prefix: str = "",
+                      dtype=None, strict: bool = True):
+    """Fill a flax param-tree *template* (from init or eval_shape) with
+    tensors from a diffusers state dict."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    missing: List[str] = []
+    for path, tmpl in flat:
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        hf_key, _ = _leaf_to_hf(keys, np.zeros((0,)))
+        *_, leaf = [p for p in keys if p != "params"]
+        full = prefix + hf_key
+        if full not in state:
+            missing.append(full)
+            leaves.append(tmpl)
+            continue
+        arr = _hf_from_leaf(full, np.asarray(state[full]), leaf)
+        if tuple(arr.shape) != tuple(tmpl.shape):
+            raise ValueError(f"shape mismatch for {full}: checkpoint "
+                             f"{arr.shape} vs model {tmpl.shape}")
+        leaves.append(jnp.asarray(arr, dtype=dtype or tmpl.dtype))
+    if missing and strict:
+        raise KeyError(f"{len(missing)} params missing from checkpoint, "
+                       f"e.g. {missing[:5]}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# --------------------------------------------------------------------------
+# safetensors file I/O
+# --------------------------------------------------------------------------
+
+def load_safetensors_dir(model_dir) -> Dict[str, np.ndarray]:
+    """Load all ``*.safetensors`` under a component dir (handles the sharded
+    ``*.safetensors.index.json`` layout transparently)."""
+    from safetensors.numpy import load_file
+    model_dir = Path(model_dir)
+    files = sorted(model_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {model_dir}")
+    state: Dict[str, np.ndarray] = {}
+    for f in files:
+        state.update(load_file(str(f)))
+    return state
+
+
+def save_safetensors(state: Dict[str, np.ndarray], path) -> None:
+    from safetensors.numpy import save_file
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()},
+              str(path))
+
+
+# --------------------------------------------------------------------------
+# component-level API
+# --------------------------------------------------------------------------
+
+_CLIP_PREFIX = "text_model."
+
+
+def _clip_flax_to_hf(params, with_projection: bool) -> Dict[str, np.ndarray]:
+    """CLIP needs HF's ``text_model.``/``embeddings.`` scoping."""
+    raw = flax_to_hf_state(params)
+    out = {}
+    for k, v in raw.items():
+        if k.startswith("text_projection"):
+            out[k] = v
+        elif k.startswith(("token_embedding", "position_embedding")):
+            out[_CLIP_PREFIX + "embeddings." + k] = v
+        elif k.startswith("layers."):
+            out[_CLIP_PREFIX + "encoder." + k] = v
+        else:  # final_layer_norm
+            out[_CLIP_PREFIX + k] = v
+    return out
+
+
+def _clip_hf_to_local(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        if k.startswith(_CLIP_PREFIX + "embeddings."):
+            out[k[len(_CLIP_PREFIX + "embeddings."):]] = v
+        elif k.startswith(_CLIP_PREFIX + "encoder."):
+            out[k[len(_CLIP_PREFIX + "encoder."):]] = v
+        elif k.startswith(_CLIP_PREFIX):
+            out[k[len(_CLIP_PREFIX):]] = v
+        else:
+            out[k] = v
+    return out
+
+
+def load_unet_params(template, model_dir, dtype=None):
+    return hf_to_flax_params(template, load_safetensors_dir(model_dir),
+                             dtype=dtype)
+
+
+def load_vae_params(template, model_dir, dtype=None):
+    return hf_to_flax_params(template, load_safetensors_dir(model_dir),
+                             dtype=dtype)
+
+
+def load_clip_params(template, model_dir, dtype=None):
+    state = _clip_hf_to_local(load_safetensors_dir(model_dir))
+    return hf_to_flax_params(template, state, dtype=dtype)
+
+
+def save_unet(params, path) -> None:
+    save_safetensors(flax_to_hf_state(params), path)
+
+
+def save_vae(params, path) -> None:
+    save_safetensors(flax_to_hf_state(params), path)
+
+
+def save_clip(params, path, with_projection: bool = False) -> None:
+    save_safetensors(_clip_flax_to_hf(params, with_projection), path)

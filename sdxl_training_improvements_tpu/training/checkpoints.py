@@ -1,0 +1,143 @@
+"""Checkpointing: Orbax training state + diffusers-layout safetensors export.
+
+Capability surface of the reference ``save_checkpoint``
+(``sdxl_trainer.py:162-210`` + ``sdxl.py:246-288``) — diffusers-format model
+export, optimizer state, config.json — plus the resume path the reference
+lacks entirely (SURVEY.md §5.4: "Save-only; there is no resume path"):
+Orbax checkpoints carry {params, opt_state, step, rng} and ``--resume``
+restores them exactly.
+
+Layout of a checkpoint directory::
+
+    checkpoint-0010/
+      state/            # Orbax (params, opt_state, step, rng)
+      unet/diffusion_pytorch_model.safetensors   # diffusers interchange
+      vae/..., text_encoder/..., text_encoder_2/...   (when params present)
+      config.json       # full framework config
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sdxl_training_improvements_tpu.models import weights as W
+
+
+# --------------------------------------------------------------- orbax state
+def save_train_state(ckpt_dir, state, config=None) -> None:
+    """Save TrainState (params/opt_state/step/rng) with Orbax."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir / "state", _jax_state(state), force=True)
+    if config is not None:
+        (ckpt_dir / "config.json").write_text(
+            json.dumps(config.to_dict(), indent=2, default=str))
+
+
+def restore_train_state(ckpt_dir, template_state):
+    """Restore into the shapes/dtypes/shardings of ``template_state``."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(ckpt_dir / "state",
+                                 _jax_state(template_state))
+    return template_state._replace(**restored) if hasattr(
+        template_state, "_replace") else restored
+
+
+def _jax_state(state) -> dict:
+    """TrainState -> plain dict for Orbax (keys stable across versions)."""
+    if hasattr(state, "_asdict"):
+        return dict(state._asdict())
+    return dict(state)
+
+
+def latest_checkpoint(output_dir) -> Optional[Path]:
+    """Most recent ``checkpoint-NNNN`` under output_dir (for --resume auto)."""
+    output_dir = Path(output_dir)
+    if not output_dir.exists():
+        return None
+    candidates = sorted(output_dir.glob("checkpoint-*"))
+    final = output_dir / "final_checkpoint"
+    if final.exists():
+        candidates.append(final)
+    for c in reversed(candidates):
+        if (c / "state").exists():
+            return c
+    return None
+
+
+# ------------------------------------------------------- diffusers interchange
+def export_diffusers(ckpt_dir, model_params: dict, config=None,
+                     scheduler_config: Optional[dict] = None) -> None:
+    """Write diffusers-layout safetensors for every component present in
+    ``model_params`` ({unet, vae, clip_l, clip_g}) — reference
+    ``save_pretrained`` (``sdxl.py:246-288``)."""
+    ckpt_dir = Path(ckpt_dir)
+    to_host = lambda tree: jax.tree.map(np.asarray, tree)
+    if "unet" in model_params:
+        W.save_unet(to_host(model_params["unet"]),
+                    ckpt_dir / "unet" / "diffusion_pytorch_model.safetensors")
+    if "vae" in model_params:
+        W.save_vae(to_host(model_params["vae"]),
+                   ckpt_dir / "vae" / "diffusion_pytorch_model.safetensors")
+    if "clip_l" in model_params:
+        W.save_clip(to_host(model_params["clip_l"]),
+                    ckpt_dir / "text_encoder" / "model.safetensors")
+    if "clip_g" in model_params:
+        W.save_clip(to_host(model_params["clip_g"]),
+                    ckpt_dir / "text_encoder_2" / "model.safetensors",
+                    with_projection=True)
+    if scheduler_config is not None:
+        sdir = ckpt_dir / "scheduler"
+        sdir.mkdir(parents=True, exist_ok=True)
+        (sdir / "scheduler_config.json").write_text(
+            json.dumps(scheduler_config, indent=2))
+    if config is not None:
+        (ckpt_dir / "config.json").write_text(
+            json.dumps(config.to_dict(), indent=2, default=str))
+
+
+def import_diffusers(model, model_dir, dtype=None) -> dict:
+    """Load component params from a diffusers-layout directory into the
+    SDXLModel's param dict (components present on disk only)."""
+    model_dir = Path(model_dir)
+    params: dict = {}
+
+    def template(init_fn):
+        return jax.eval_shape(init_fn)
+
+    import jax.numpy as jnp
+    if (model_dir / "unet").exists():
+        ucfg = model.unet.config
+        tmpl = jax.eval_shape(
+            lambda: model.unet.init(
+                jax.random.key(0),
+                jnp.zeros((1, ucfg.in_channels, 16, 16)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+                jnp.zeros((1, ucfg.pooled_embed_dim)), jnp.zeros((1, 6))))
+        params["unet"] = W.load_unet_params(tmpl, model_dir / "unet",
+                                            dtype=dtype)
+    if (model_dir / "vae").exists():
+        tmpl = jax.eval_shape(
+            lambda: model.vae.init(jax.random.key(0),
+                                   jnp.zeros((1, 3, 64, 64)),
+                                   jax.random.key(0)))
+        params["vae"] = W.load_vae_params(tmpl, model_dir / "vae")
+    if (model_dir / "text_encoder").exists():
+        tmpl = jax.eval_shape(
+            lambda: model.clip_l.init(jax.random.key(0),
+                                      jnp.zeros((1, 77), jnp.int32)))
+        params["clip_l"] = W.load_clip_params(tmpl, model_dir / "text_encoder")
+    if (model_dir / "text_encoder_2").exists():
+        tmpl = jax.eval_shape(
+            lambda: model.clip_g.init(jax.random.key(0),
+                                      jnp.zeros((1, 77), jnp.int32)))
+        params["clip_g"] = W.load_clip_params(tmpl,
+                                              model_dir / "text_encoder_2")
+    return params

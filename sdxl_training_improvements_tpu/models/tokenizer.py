@@ -1,0 +1,98 @@
+"""Tokenization for the dual CLIP encoders.
+
+The reference tokenizes with the two HF CLIP tokenizers shipped inside the
+SDXL checkpoint (``src/models/encoders/clip.py:61-68``: pad to max_length=77,
+truncate).  Here:
+
+* ``load_tokenizers(model_dir)`` loads ``tokenizer/`` + ``tokenizer_2/`` from
+  a diffusers-layout checkpoint via transformers (pure file access — no hub
+  download);
+* ``HashTokenizer`` is a deterministic offline fallback (tests, synthetic
+  data): whitespace tokens hashed into the vocab range with BOS/EOS/pad
+  conventions matching CLIP (bos=start, eos after last token, pad after) so
+  EOS-pooling works identically.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class HashTokenizer:
+    """Deterministic stand-in with CLIP-style special-token layout."""
+
+    def __init__(self, vocab_size: int = 49408, max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.bos_id = vocab_size - 2  # 49406
+        self.eos_id = vocab_size - 1  # 49407 (highest id -> argmax pooling)
+
+    def __call__(self, captions: Sequence[str]) -> np.ndarray:
+        out = np.full((len(captions), self.max_length), self.eos_id,
+                      dtype=np.int32)
+        for b, caption in enumerate(captions):
+            ids = [self.bos_id]
+            for tok in caption.lower().split():
+                ids.append(hash(tok) % (self.vocab_size - 3))
+                if len(ids) >= self.max_length - 1:
+                    break
+            ids.append(self.eos_id)
+            out[b, :len(ids)] = ids
+            # CLIP pads with eos-equivalent; argmax finds the FIRST max —
+            # i.e. the true eos position — so pooling matches HF semantics
+        return out
+
+
+class HFTokenizer:
+    """transformers CLIPTokenizer wrapper (local files only)."""
+
+    def __init__(self, tokenizer, max_length: int = 77):
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+
+    def __call__(self, captions: Sequence[str]) -> np.ndarray:
+        enc = self.tokenizer(list(captions), padding="max_length",
+                             max_length=self.max_length, truncation=True,
+                             return_tensors="np")
+        return enc["input_ids"].astype(np.int32)
+
+
+class TokenizerPair:
+    """(tokenizer, tokenizer_2) -> (ids_l, ids_g) [B, 77] each."""
+
+    def __init__(self, tok_l, tok_g):
+        self.tok_l = tok_l
+        self.tok_g = tok_g
+
+    def __call__(self, captions: Sequence[str]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        return self.tok_l(captions), self.tok_g(captions)
+
+    @classmethod
+    def fallback(cls, vocab_size: int = 49408, max_length: int = 77
+                 ) -> "TokenizerPair":
+        t = HashTokenizer(vocab_size, max_length)
+        return cls(t, t)
+
+
+def load_tokenizers(model_dir, max_length: int = 77) -> TokenizerPair:
+    """Load from a diffusers checkpoint dir; HashTokenizer fallback when the
+    dirs or transformers are unavailable."""
+    model_dir = Path(model_dir)
+    try:
+        from transformers import CLIPTokenizer, CLIPTokenizerFast
+        toks = []
+        for sub in ("tokenizer", "tokenizer_2"):
+            d = model_dir / sub
+            if not d.exists():
+                raise FileNotFoundError(d)
+            try:
+                tok = CLIPTokenizerFast.from_pretrained(str(d))
+            except Exception:
+                tok = CLIPTokenizer.from_pretrained(str(d))
+            toks.append(HFTokenizer(tok, max_length))
+        return TokenizerPair(*toks)
+    except Exception:
+        return TokenizerPair.fallback(max_length=max_length)

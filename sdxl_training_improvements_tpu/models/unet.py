@@ -65,7 +65,8 @@ class UNetConfig:
             attention_head_dim=16,
             cross_attention_dim=64,
             addition_time_embed_dim=8,
-            projection_class_embeddings_input_dim=80 + 6 * 8,  # pooled 80
+            # pooled 32 = tiny CLIP-G projection_dim (clip.CLIPTextConfig.tiny)
+            projection_class_embeddings_input_dim=32 + 6 * 8,
             remat=False,
             use_pallas=False,
         )

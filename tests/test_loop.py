@@ -1,0 +1,190 @@
+"""End-to-end orchestration tests: logging, throughput, trainer loop, CLI."""
+import json
+import logging as pylog
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_training_improvements_tpu.config import Config
+from sdxl_training_improvements_tpu.core.logging import (
+    LogConfig, MetricsTracker, ProgressPredictor, UnifiedLogger, WandbLogger)
+from sdxl_training_improvements_tpu.core.profiling import (
+    ThroughputMonitor, device_memory_stats)
+from sdxl_training_improvements_tpu.models.tokenizer import (
+    HashTokenizer, TokenizerPair)
+
+
+class TestLogging:
+    def test_metrics_tracker(self):
+        mt = MetricsTracker(window_size=3)
+        for v in [1, 2, 3, 4]:
+            mt.update("loss", v)
+        assert mt.get_average("loss") == 3.0  # window keeps last 3
+        assert mt.get_average("nope") is None
+        mt.update_many({"a": 1.0, "bad": "str"})
+        assert mt.get_all_averages()["a"] == 1.0
+
+    def test_progress_predictor(self):
+        pp = ProgressPredictor()
+        pp.update()
+        assert pp.eta_seconds(10) is None
+        pp.update()
+        assert pp.eta_seconds(10) is not None
+        assert ProgressPredictor.format_time(3725) == "1h02m05s"
+        assert ProgressPredictor.format_time(65) == "1m05s"
+        assert ProgressPredictor.format_time(None) == "??"
+
+    def test_unified_logger_file_and_metrics(self, tmp_path):
+        lg = UnifiedLogger(LogConfig(name="t1", log_dir=str(tmp_path),
+                                     filename="t.log", use_wandb=False))
+        lg.info("Starting run")
+        lg.log_metrics({"loss": 0.5}, step=1)
+        lg.log_metrics({"loss": 0.3}, step=2)
+        assert lg.metrics.get_average("loss") == 0.4
+        lg.update_progress(10, 100)
+        lg.finish()
+        assert (tmp_path / "t.log").read_text().count("Starting") >= 1
+
+    def test_wandb_noop_without_wandb(self):
+        wl = WandbLogger(project="x")  # wandb not installed -> inert
+        assert not wl.active
+        wl.log_metrics({"a": 1}, step=0)
+        wl.log_images({"img": np.zeros((4, 4, 3))})
+        wl.finish()
+
+
+class TestThroughput:
+    def test_metrics(self):
+        tm = ThroughputMonitor(batch_size=4)
+        for _ in range(3):
+            tm.start_batch()
+            tm.end_batch()
+        m = tm.get_metrics()
+        assert m["throughput/samples_per_sec"] > 0
+        assert m["throughput/batch_time_ms"] >= 0
+        assert tm.total_samples == 12
+
+    def test_pickle_roundtrip(self):
+        import pickle
+        tm = ThroughputMonitor()
+        tm.start_batch(); tm.end_batch()
+        tm2 = pickle.loads(pickle.dumps(tm))
+        assert len(tm2.batch_times) == 1
+
+    def test_device_memory_stats_shape(self):
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_layout(self):
+        t = HashTokenizer(vocab_size=1000, max_length=16)
+        ids = t(["hello world", ""])
+        assert ids.shape == (2, 16)
+        assert ids[0, 0] == 998  # bos
+        assert ids[0, 3] == 999  # eos after 2 tokens
+        # eos-argmax pooling position: first occurrence of max id
+        assert int(np.argmax(ids[0])) == 3
+        assert int(np.argmax(ids[1])) == 1  # empty caption: bos then eos
+
+    def test_deterministic(self):
+        t = HashTokenizer()
+        np.testing.assert_array_equal(t(["a cat"]), t(["a cat"]))
+
+    def test_pair_fallback(self):
+        pair = TokenizerPair.fallback(max_length=77)
+        l, g = pair(["x"])
+        assert l.shape == g.shape == (1, 77)
+
+
+@pytest.fixture
+def trainer_setup(tmp_path):
+    """Tiny model + synthetic cached dataset + config -> SDXLTrainer."""
+    from PIL import Image
+    from sdxl_training_improvements_tpu.data.buckets import supported_dims_buckets
+    from sdxl_training_improvements_tpu.data.cache import CacheManager
+    from sdxl_training_improvements_tpu.data.dataset import AspectBucketDataset
+    from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                        ).save(img_dir / f"i{i}.png")
+        (img_dir / f"i{i}.txt").write_text(f"caption {i}")
+
+    cfg = Config()
+    cfg.data.train_data_dir = [str(img_dir)]
+    cfg.training.batch_size = 2
+    cfg.training.gradient_accumulation_steps = 1
+    cfg.training.num_epochs = 2
+    cfg.training.mixed_precision = "no"
+    cfg.training.save_every = 0
+    cfg.optimizer.optimizer_type = "adamw"
+    cfg.optimizer.learning_rate = 1e-4
+    cfg.global_config.cache.cache_dir = str(tmp_path / "cache")
+    cfg.global_config.image.supported_dims = [[64, 64]]
+    cfg.global_config.image.min_size = [32, 32]
+    cfg.global_config.image.max_size = [96, 96]
+    cfg.global_config.logging.log_dir = str(tmp_path / "logs")
+    cfg.global_config.logging.log_every = 1
+
+    model = SDXLModel.create(
+        tiny=True, dtype=jnp.float32, init_rng=jax.random.key(0),
+        init_components=("unet", "vae", "clip_l", "clip_g"))
+
+    paths = sorted(str(p) for p in img_dir.glob("*.png"))
+    captions = [f"caption {i}" for i in range(4)]
+    cm = CacheManager(tmp_path / "cache")
+    ds = AspectBucketDataset(cfg, paths, captions, cm,
+                             buckets=supported_dims_buckets(cfg))
+    return cfg, model, ds, tmp_path
+
+
+class TestTrainerLoop:
+    def test_full_train_run(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "out"),
+                              use_mesh=False)
+        trainer.prepare_data()  # real precompute via tiny VAE/CLIP
+        assert ds.cache.is_cached(ds.image_paths[0])
+        metrics = trainer.train(num_epochs=2)
+        assert np.isfinite(metrics["loss"])
+        assert int(trainer.state.step) == 4  # 2 epochs x 2 batches
+        final = tmp_path / "out" / "final_checkpoint"
+        assert (final / "state").exists()
+        assert (final / "unet" / "diffusion_pytorch_model.safetensors").exists()
+        assert json.loads((final / "config.json").read_text())
+
+    def test_resume_continues(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        t1 = SDXLTrainer(cfg, model=model, dataset=ds,
+                         output_dir=str(tmp_path / "out"), use_mesh=False)
+        t1.prepare_data()
+        t1.train(num_epochs=1)
+        step1 = int(t1.state.step)
+        cfg.training.resume_from = "auto"
+        t2 = SDXLTrainer(cfg, model=model, dataset=ds,
+                         output_dir=str(tmp_path / "out"), use_mesh=False)
+        assert int(t2.state.step) == step1
+        t2.train(num_epochs=1)
+        assert int(t2.state.step) > step1
+
+
+class TestCLI:
+    def test_parser_defaults(self):
+        from sdxl_training_improvements_tpu.main import build_parser
+        args = build_parser().parse_args([])
+        assert args.config == "config.yaml"
+        assert args.resume is None
+        args = build_parser().parse_args(["--resume"])
+        assert args.resume == "auto"
+        args = build_parser().parse_args(["--resume", "/x", "--method",
+                                          "flow_matching"])
+        assert args.resume == "/x" and args.method == "flow_matching"

@@ -24,7 +24,7 @@ def tiny_model():
     return model
 
 
-def make_batch(key, b, size=16, ctx_dim=64, pooled=80):
+def make_batch(key, b, size=16, ctx_dim=64, pooled=32):
     ks = jax.random.split(key, 4)
     return {
         "vae_latents": jax.random.normal(ks[0], (b, 4, size, size)),

@@ -271,15 +271,19 @@ class UnifiedLogger:
                    step: Optional[int] = None) -> None:
         self.wandb.log_images(images, step=step)
 
-    def update_progress(self, current: int, total: int, n: int = 1,
+    def update_progress(self, current: int, total: int = 0, n: int = 1,
                         extra: str = "") -> None:
         self.predictor.update(n)
         if current % max(self.config.log_every, 1) == 0 or current == total:
-            eta = self.predictor.eta_seconds(total - current)
             avg = self.metrics.get_average("loss")
             loss_s = f" loss={avg:.4f}" if avg is not None else ""
-            self.info(f"step {current}/{total}{loss_s} "
-                      f"eta={ProgressPredictor.format_time(eta)} {extra}")
+            if total > current:
+                eta = self.predictor.eta_seconds(total - current)
+                head = (f"step {current}/{total}{loss_s} "
+                        f"eta={ProgressPredictor.format_time(eta)}")
+            else:
+                head = f"step {current}{loss_s}"
+            self.info(f"{head} {extra}".rstrip())
 
     def finish(self) -> None:
         self.wandb.finish()

@@ -39,6 +39,11 @@ class VAEConfig:
         return cls(block_out_channels=(16, 32), layers_per_block=1,
                    norm_num_groups=8)
 
+    @property
+    def downscale_factor(self) -> int:
+        """Pixel->latent spatial factor (8 for SDXL's 4-stage encoder)."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
 
 class VAEAttention(nn.Module):
     """Single-head spatial self-attention (diffusers VAE mid-block attention)."""

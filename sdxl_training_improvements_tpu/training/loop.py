@@ -105,7 +105,9 @@ class SDXLTrainer:
     # ------------------------------------------------------------ builders
     def _load_model(self) -> SDXLModel:
         name = self.config.model.pretrained_model_name
-        model = SDXLModel.create(tiny=False,
+        tiny = self.config.model.model_type in ("sdxl_tiny", "sdxl-tiny",
+                                                "tiny")
+        model = SDXLModel.create(tiny=tiny,
                                  dtype=jnp.bfloat16
                                  if self.config.training.mixed_precision == "bf16"
                                  else jnp.float32)
@@ -119,7 +121,8 @@ class SDXLTrainer:
                 f"Pretrained path {name!r} not found locally - random init "
                 "(training from scratch). Point model.pretrained_model_name "
                 "at a diffusers-layout checkpoint directory for fine-tuning.")
-            model.init_params(jax.random.key(0), components=("unet",))
+            model.init_params(jax.random.key(0),
+                              components=("unet", "vae", "clip_l", "clip_g"))
         return model
 
     def _load_tokenizers(self) -> TokenizerPair:
@@ -167,6 +170,16 @@ class SDXLTrainer:
         ds = self.dataset or self.prepare_data()
         global_batch = cfg.batch_size * max(1, cfg.gradient_accumulation_steps)
         max_steps = cfg.max_steps
+        per_epoch = len(ds.make_sampler(global_batch,
+                                        num_shards=jax.process_count(),
+                                        shard=jax.process_index()))
+        if per_epoch == 0:
+            raise ValueError(
+                f"No trainable batches: {len(ds)} images across "
+                f"{len(ds.bucket_indices)} buckets with global batch size "
+                f"{global_batch}. Check data.train_data_dir "
+                f"({self.config.data.train_data_dir}) and batch size.")
+        total_steps = max_steps or num_epochs * per_epoch
         metrics: Dict[str, float] = {}
 
         with profiler_trace(self.config.tpu.profile_dir):
@@ -190,7 +203,7 @@ class SDXLTrainer:
                         payload.update(device_memory_stats())
                         payload["epoch"] = epoch
                         self.logger.log_metrics(payload, step=step)
-                        self.logger.update_progress(step, max_steps or 0)
+                        self.logger.update_progress(step, total_steps)
                     if max_steps and step >= max_steps:
                         break
                 # ---- epoch end: checkpointing (reference cadence:

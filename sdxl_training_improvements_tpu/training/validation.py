@@ -1,0 +1,145 @@
+"""Validation during training: sample images + validation loss.
+
+The reference ships two validation modules that are both import-broken and
+dead (``src/training/validation.py``, ``src/core/validation/`` — defect
+ledger).  This is the working equivalent of their intended surface:
+
+* ``ValidationSampler.generate`` — text -> image through the ZTSNR Karras
+  Euler sampler (``schedules.sample_ztsnr``, the reference's
+  ``sample_with_ztsnr`` ``novelai_v3.py:86-99``) with classifier-free
+  guidance, decoded by the fp32 VAE; images are saved as PNGs and pushed to
+  the logger's image sink (``wandb.log_images`` surface).
+* ``validation_loss`` — the training loss measured over a held-out dataset
+  (``data.validation_data_dir``), method-consistent (uses the same loss
+  registry entry as training).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdxl_training_improvements_tpu.training import schedules as S
+from sdxl_training_improvements_tpu.training.methods import get_method
+
+
+def latents_to_images(decoded_nchw: jnp.ndarray) -> List["np.ndarray"]:
+    """[-1,1] NCHW float -> list of HWC uint8 arrays."""
+    arr = np.asarray(jnp.clip(decoded_nchw, -1, 1))
+    arr = ((arr + 1.0) * 127.5).astype(np.uint8)
+    return [a.transpose(1, 2, 0) for a in arr]
+
+
+class ValidationSampler:
+    def __init__(self, model, tokenizers, schedule: S.NoiseSchedule,
+                 num_inference_steps: int = 28, guidance_scale: float = 5.0):
+        self.model = model
+        self.tokenizers = tokenizers
+        self.schedule = schedule
+        self.num_inference_steps = num_inference_steps
+        self.guidance_scale = guidance_scale
+
+    def _denoiser(self, unet_params, prompt_embeds, pooled, time_ids):
+        """model_fn(x, sigma) for the sampler: raw network F(c_in*x, t(sigma))
+        with CFG when guidance > 1.  Conditioning rows are stacked
+        [uncond; cond] along batch."""
+        sigmas = self.schedule.sigmas
+        guidance = self.guidance_scale
+
+        def fn(x, sigma):
+            # sigma -> nearest trained timestep (descending table)
+            t_idx = jnp.argmin(jnp.abs(
+                jnp.log(jnp.maximum(sigmas, 1e-8))
+                - jnp.log(jnp.maximum(sigma, 1e-8))))
+            b = x.shape[0]
+            t = jnp.full((2 * b,), t_idx, jnp.int32)
+            x2 = jnp.concatenate([x, x], axis=0)
+            pred = self.model.unet_apply(unet_params, x2, t, prompt_embeds,
+                                         pooled, time_ids)
+            uncond, cond = jnp.split(pred.astype(jnp.float32), 2, axis=0)
+            return uncond + guidance * (cond - uncond)
+
+        return fn
+
+    def generate(self, unet_params, prompts: Sequence[str], key: jax.Array,
+                 height: int = 1024, width: int = 1024) -> List[np.ndarray]:
+        """Sample one image per prompt; returns HWC uint8 arrays."""
+        ids_l, ids_g = self.tokenizers(list(prompts) + [""] * len(prompts))
+        enc = self.model.encode_prompt(jnp.asarray(ids_l), jnp.asarray(ids_g))
+        n = len(prompts)
+        # [uncond; cond] stacking
+        pe = jnp.concatenate([enc["prompt_embeds"][n:],
+                              enc["prompt_embeds"][:n]], axis=0)
+        pooled = jnp.concatenate([enc["pooled_prompt_embeds"][n:],
+                                  enc["pooled_prompt_embeds"][:n]], axis=0)
+        time_ids = jnp.tile(jnp.asarray(
+            [[height, width, 0, 0, height, width]], jnp.float32), (2 * n, 1))
+
+        f = self.model.vae.config.downscale_factor
+        lat_shape = (n, self.model.unet_config.in_channels,
+                     height // f, width // f)
+        model_fn = self._denoiser(unet_params, pe, pooled, time_ids)
+        latents = S.sample_ztsnr(model_fn, key, lat_shape, self.schedule,
+                                 num_steps=self.num_inference_steps)
+        decoded = self.model.decode_latents(latents.astype(jnp.float32))
+        return latents_to_images(decoded)
+
+
+class ValidationLogger:
+    """Periodic sampling + PNG save + image-sink logging (the reference
+    ``ValidationLogger.run_validation`` intent, ``validation.py:33-92``)."""
+
+    def __init__(self, sampler: ValidationSampler, prompts: Sequence[str],
+                 output_dir, logger=None, height: int = 1024,
+                 width: int = 1024):
+        self.sampler = sampler
+        self.prompts = list(prompts)
+        self.output_dir = Path(output_dir)
+        self.logger = logger
+        self.height, self.width = height, width
+
+    def run_validation(self, unet_params, step: int,
+                       key: Optional[jax.Array] = None) -> List[Path]:
+        key = key if key is not None else jax.random.key(step)
+        images = self.sampler.generate(unet_params, self.prompts, key,
+                                       self.height, self.width)
+        out_dir = self.output_dir / f"validation-{step:06d}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        paths = []
+        wandb_payload = {}
+        for i, (prompt, img) in enumerate(zip(self.prompts, images)):
+            p = out_dir / f"{i:02d}.png"
+            try:
+                from PIL import Image
+                Image.fromarray(img).save(p)
+                paths.append(p)
+            except Exception:
+                pass
+            wandb_payload[f"validation/{i:02d}"] = img
+        if self.logger is not None:
+            self.logger.log_images(wandb_payload, step=step)
+            self.logger.info(f"Validation images at step {step} -> {out_dir}")
+        return paths
+
+
+def validation_loss(unet_apply, params, dataset, schedule, config,
+                    key: jax.Array, max_batches: int = 8) -> Optional[float]:
+    """Mean training-method loss over the validation set."""
+    from sdxl_training_improvements_tpu.data.pipeline import batches_for_epoch
+
+    loss_fn = get_method(config.training.method)
+    losses = []
+    for i, batch in enumerate(batches_for_epoch(
+            dataset, config.training.batch_size, epoch=0,
+            seed=config.training.seed)):
+        if i >= max_batches:
+            break
+        key, k = jax.random.split(key)
+        jbatch = {kk: jnp.asarray(v) for kk, v in batch.items()}
+        loss, _ = loss_fn(unet_apply, params, jbatch, k, schedule,
+                          config.model)
+        losses.append(float(loss))
+    return float(np.mean(losses)) if losses else None

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sdxl_training_improvements_tpu.ops.attention import dot_product_attention
+from sdxl_training_improvements_tpu.ops.groupnorm import groupnorm_silu
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -92,6 +93,23 @@ class GroupNorm(nn.Module):
         return group_norm(x, scale, bias, self.num_groups, self.eps)
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm fused with SiLU (Pallas kernel when enabled — the
+    north-star fused resblock epilogue; ``ops/groupnorm.py``).  Param names
+    match plain GroupNorm so checkpoints are interchangeable."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return groupnorm_silu(x, scale, bias, self.num_groups, self.eps)
+
+
 class ResnetBlock2D(nn.Module):
     """GN→SiLU→conv3x3 → +time-emb → GN→SiLU→conv3x3 → +skip (diffusers layout)."""
 
@@ -105,8 +123,7 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, emb=None):
         in_ch = x.shape[-1]
-        h = GroupNorm(self.num_groups, self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.num_groups, self.eps, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
         if emb is not None:
@@ -114,8 +131,7 @@ class ResnetBlock2D(nn.Module):
                                param_dtype=self.param_dtype,
                                name="time_emb_proj")(nn.silu(emb))
             h = h + emb_out[:, None, None, :]
-        h = GroupNorm(self.num_groups, self.eps, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.num_groups, self.eps, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
         if in_ch != self.out_channels:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sdxl_training_improvements_tpu.models.layers import (
-    Downsample2D, GroupNorm, ResnetBlock2D, TimestepEmbedding,
+    Downsample2D, GroupNormSiLU, ResnetBlock2D, TimestepEmbedding,
     Transformer2DModel, Upsample2D, timestep_embedding)
 
 
@@ -194,8 +194,7 @@ class SDXLUNet(nn.Module):
                                name=f"up_blocks_{i}_upsamplers_0")(x)
 
         # --- head ---
-        x = GroupNorm(cfg.norm_num_groups, 1e-5, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNormSiLU(cfg.norm_num_groups, 1e-5, name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt,
                     param_dtype=pdt, name="conv_out")(x)
         return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW

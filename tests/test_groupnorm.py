@@ -1,0 +1,72 @@
+"""Fused GroupNorm+SiLU kernel numerics (interpret mode) + dispatcher."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from sdxl_training_improvements_tpu.ops.groupnorm import (
+    _gn_silu_pallas, groupnorm_silu, groupnorm_silu_reference)
+
+
+def test_reference_matches_manual():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    scale = jnp.linspace(0.5, 1.5, 16)
+    bias = jnp.linspace(-0.1, 0.1, 16)
+    out = groupnorm_silu_reference(x, scale, bias, num_groups=4)
+    # manual
+    xf = np.asarray(x, np.float64).reshape(2, 64, 4, 4)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xn = ((xf - mean) / np.sqrt(var + 1e-5)).reshape(2, 8, 8, 16)
+    y = xn * np.asarray(scale) + np.asarray(bias)
+    expect = y / (1 + np.exp(-y))
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+
+def test_pallas_kernel_matches_reference():
+    x = jax.random.normal(jax.random.key(1), (2, 64, 32), jnp.float32)
+    scale = jax.random.normal(jax.random.key(2), (32,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.key(3), (32,)) * 0.1
+    ref = groupnorm_silu_reference(x, scale, bias, num_groups=8)
+    with pltpu.force_tpu_interpret_mode():
+        out = _gn_silu_pallas(x, scale, bias, num_groups=8, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_kernel_bf16():
+    x = jax.random.normal(jax.random.key(1), (1, 128, 64), jnp.bfloat16)
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    ref = groupnorm_silu_reference(x, scale, bias, num_groups=32)
+    with pltpu.force_tpu_interpret_mode():
+        out = _gn_silu_pallas(x, scale, bias, num_groups=32, eps=1e-5)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_dispatcher_defaults_to_reference():
+    # env flag unset -> jnp path; just confirm callable on NHWC
+    x = jax.random.normal(jax.random.key(4), (2, 4, 4, 8))
+    out = groupnorm_silu(x, jnp.ones(8), jnp.zeros(8), num_groups=2)
+    assert out.shape == x.shape
+
+
+def test_gradients_match_reference_path():
+    x = jax.random.normal(jax.random.key(5), (1, 16, 8))
+    scale, bias = jnp.ones(8), jnp.zeros(8)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(groupnorm_silu_reference(x, s, b, 4) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+
+    from sdxl_training_improvements_tpu.ops.groupnorm import _fused_core
+    with pltpu.force_tpu_interpret_mode():
+        def loss_fused(x, s, b):
+            return jnp.sum(_fused_core(x, s, b, 4, 1e-5) ** 2)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)

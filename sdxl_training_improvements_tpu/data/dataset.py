@@ -42,13 +42,23 @@ def prepare_image_array(img, bucket: Bucket, center_crop: bool = True,
     # scale preserving aspect so the short side covers the target, then crop
     scale = max(tw / orig_w, th / orig_h)
     rw, rh = max(tw, int(round(orig_w * scale))), max(th, int(round(orig_h * scale)))
-    img = img.convert("RGB").resize((rw, rh), Image.LANCZOS)
     if center_crop:
         left = (rw - tw) // 2
         top = (rh - th) // 2
     else:
         left = np.random.randint(0, rw - tw + 1)
         top = np.random.randint(0, rh - th + 1)
+
+    # native fused path (Lanczos resize+crop+flip+normalize in C++)
+    from sdxl_training_improvements_tpu import native
+    if native.available():
+        rgb = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        arr = native.prepare_image_native(rgb, th, tw, top, left, rh, rw,
+                                          flip=flip)
+        if arr is not None:
+            return arr, (orig_h, orig_w), (top, left)
+
+    img = img.convert("RGB").resize((rw, rh), Image.LANCZOS)
     img = img.crop((left, top, left + tw, top + th))
     if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)

@@ -149,3 +149,8 @@ def flow_matching_loss(unet_apply, params, batch, rng,
         "time_std": jnp.std(t),
     }
     return loss, metrics
+
+
+# self-registering extra methods (import side effects populate the registry)
+from sdxl_training_improvements_tpu.training.methods import (  # noqa: E402,F401
+    example_method as _example_method)

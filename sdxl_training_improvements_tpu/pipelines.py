@@ -1,0 +1,67 @@
+"""Text-to-image inference pipeline.
+
+Counterpart of the reference's ``create_pipeline`` surface
+(``src/models/sdxl.py:188-198``, which hands back a diffusers
+``StableDiffusionXLPipeline``): a self-contained SDXL pipeline over the flax
+models with the ZTSNR Karras-Euler sampler and classifier-free guidance.
+
+    pipe = SDXLPipeline.from_pretrained("/path/to/diffusers-checkpoint")
+    images = pipe(["a photograph of an astronaut riding a horse"],
+                  height=1024, width=1024, num_inference_steps=28,
+                  guidance_scale=5.0, seed=0)
+    images[0]  # HWC uint8 numpy array
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+from sdxl_training_improvements_tpu.models.tokenizer import (
+    TokenizerPair, load_tokenizers)
+from sdxl_training_improvements_tpu.training.schedules import NoiseSchedule
+from sdxl_training_improvements_tpu.training.validation import (
+    ValidationSampler)
+
+
+class SDXLPipeline:
+    def __init__(self, model: SDXLModel, tokenizers: TokenizerPair,
+                 schedule: Optional[NoiseSchedule] = None):
+        self.model = model
+        self.tokenizers = tokenizers
+        self.schedule = schedule or NoiseSchedule.create()
+
+    @classmethod
+    def from_pretrained(cls, model_dir, tiny: bool = False,
+                        schedule: Optional[NoiseSchedule] = None
+                        ) -> "SDXLPipeline":
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            import_diffusers)
+        model = SDXLModel.create(tiny=tiny)
+        model.params = import_diffusers(model, model_dir)
+        missing = {"unet", "vae", "clip_l", "clip_g"} - set(model.params)
+        if missing:
+            raise FileNotFoundError(
+                f"checkpoint at {model_dir} missing components: {missing}")
+        return cls(model, load_tokenizers(Path(model_dir)), schedule)
+
+    @classmethod
+    def from_model(cls, model: SDXLModel,
+                   tokenizers: Optional[TokenizerPair] = None,
+                   schedule: Optional[NoiseSchedule] = None) -> "SDXLPipeline":
+        return cls(model, tokenizers or TokenizerPair.fallback(), schedule)
+
+    def __call__(self, prompts: Sequence[str], height: int = 1024,
+                 width: int = 1024, num_inference_steps: int = 28,
+                 guidance_scale: float = 5.0, seed: int = 0
+                 ) -> List[np.ndarray]:
+        sampler = ValidationSampler(self.model, self.tokenizers,
+                                    self.schedule,
+                                    num_inference_steps=num_inference_steps,
+                                    guidance_scale=guidance_scale)
+        return sampler.generate(self.model.params["unet"], list(prompts),
+                                jax.random.key(seed), height=height,
+                                width=width)

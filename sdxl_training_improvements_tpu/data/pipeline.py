@@ -62,8 +62,9 @@ def prefetch_to_device(batch_iter, mesh=None, prefetch: int = 2,
         try:
             for batch in batch_iter:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -71,4 +72,6 @@ def prefetch_to_device(batch_iter, mesh=None, prefetch: int = 2,
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

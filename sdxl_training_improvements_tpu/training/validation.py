@@ -29,6 +29,7 @@ from sdxl_training_improvements_tpu.training.methods import get_method
 def latents_to_images(decoded_nchw: jnp.ndarray) -> List["np.ndarray"]:
     """[-1,1] NCHW float -> list of HWC uint8 arrays."""
     arr = np.asarray(jnp.clip(decoded_nchw, -1, 1))
+    arr = np.nan_to_num(arr, nan=0.0, posinf=1.0, neginf=-1.0)
     arr = ((arr + 1.0) * 127.5).astype(np.uint8)
     return [a.transpose(1, 2, 0) for a in arr]
 

@@ -188,3 +188,59 @@ class TestCLI:
         args = build_parser().parse_args(["--resume", "/x", "--method",
                                           "flow_matching"])
         assert args.resume == "/x" and args.method == "flow_matching"
+
+
+class TestTrainerWithMesh:
+    def test_full_train_on_8dev_mesh(self, trainer_setup, tmp_path):
+        """Orchestrated loop with the real mesh path (DP over 8 CPU devices)."""
+        cfg, model, _, _ = trainer_setup
+        from PIL import Image
+        from sdxl_training_improvements_tpu.data.buckets import (
+            supported_dims_buckets)
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        from sdxl_training_improvements_tpu.data.dataset import (
+            AspectBucketDataset)
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        rng = np.random.default_rng(1)
+        img_dir = tmp_path / "mesh_imgs"
+        img_dir.mkdir()
+        for i in range(8):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                            ).save(img_dir / f"m{i}.png")
+        paths = sorted(str(p) for p in img_dir.glob("*.png"))
+        ds = AspectBucketDataset(cfg, paths, [f"c{i}" for i in range(8)],
+                                 CacheManager(tmp_path / "mesh_cache"),
+                                 buckets=supported_dims_buckets(cfg))
+        cfg.training.batch_size = 8  # one example per device
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "mesh_out"),
+                              use_mesh=True)
+        trainer.prepare_data()
+        metrics = trainer.train(num_epochs=1)
+        assert np.isfinite(float(metrics["loss"]))
+        assert dict(trainer.mesh.shape)["data"] == 8
+
+    def test_indivisible_batch_raises_through_prefetch(self, trainer_setup):
+        """A sharding error inside the prefetch worker must surface, not
+        silently end the epoch."""
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg.training.batch_size = 2  # not divisible by 8 devices
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "bad_out"),
+                              use_mesh=True)
+        trainer.prepare_data()
+        with pytest.raises(ValueError, match="divisible"):
+            trainer.train(num_epochs=1)
+
+
+class TestPipeline:
+    def test_pipeline_from_model(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        import numpy as np
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        pipe = SDXLPipeline.from_model(model)
+        imgs = pipe(["a test prompt"], height=32, width=32,
+                    num_inference_steps=2, guidance_scale=2.0, seed=1)
+        assert len(imgs) == 1 and imgs[0].shape == (32, 32, 3)
+        assert imgs[0].dtype == np.uint8

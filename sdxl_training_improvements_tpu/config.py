@@ -117,6 +117,7 @@ class TrainingConfig:
     max_steps: Optional[int] = None  # hard step cap (overrides epochs if set)
     resume_from: Optional[str] = None  # checkpoint dir to resume from
     seed: int = 42
+    proportion_empty_prompts: float = 0.0  # CFG caption dropout at batch time
 
 
 @dataclass

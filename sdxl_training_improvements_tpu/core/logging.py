@@ -142,6 +142,46 @@ class ProgressPredictor:
                                                   else f"{s}s")
 
 
+class ProgressTracker:
+    """tqdm wrapper with windowed samples/sec (reference ``progress.py``);
+    degrades to counters when tqdm is unavailable or disabled."""
+
+    def __init__(self, total: Optional[int] = None, desc: str = "train",
+                 batch_size: int = 1, window: int = 50, enable: bool = True):
+        self.batch_size = batch_size
+        self.times: deque = deque(maxlen=window)
+        self._last = time.monotonic()
+        self.count = 0
+        self._bar = None
+        if enable:
+            try:
+                from tqdm import tqdm
+                self._bar = tqdm(total=total, desc=desc, dynamic_ncols=True)
+            except Exception:
+                pass
+
+    def update(self, n: int = 1, **postfix) -> None:
+        now = time.monotonic()
+        self.times.append((now - self._last) / max(n, 1))
+        self._last = now
+        self.count += n
+        if self._bar is not None:
+            if postfix:
+                self._bar.set_postfix(postfix, refresh=False)
+            self._bar.update(n)
+
+    def get_metrics(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        per_step = float(np.mean(self.times))
+        return {"progress/samples_per_sec": self.batch_size / per_step,
+                "progress/steps_per_sec": 1.0 / per_step}
+
+    def close(self) -> None:
+        if self._bar is not None:
+            self._bar.close()
+
+
 # ----------------------------------------------------------------- wandb
 
 class WandbLogger:

@@ -198,6 +198,28 @@ class CacheManager:
             self._save_index_locked()
         return valid, pruned
 
+    # ------------------------------------------------------------ cfg-dropout
+    def save_empty_prompt(self, prompt_embeds: np.ndarray,
+                          pooled_prompt_embeds: np.ndarray) -> None:
+        """Cache the empty-caption CLIP embedding (classifier-free-guidance
+        dropout support)."""
+        path = self.clip_dir / "__empty_prompt__.npz"
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, prompt_embeds=prompt_embeds,
+                 pooled_prompt_embeds=pooled_prompt_embeds)
+        os.replace(tmp, path)
+
+    def load_empty_prompt(self) -> Optional[dict]:
+        path = self.clip_dir / "__empty_prompt__.npz"
+        if not path.exists():
+            return None
+        try:
+            with np.load(path) as z:
+                return {"prompt_embeds": z["prompt_embeds"],
+                        "pooled_prompt_embeds": z["pooled_prompt_embeds"]}
+        except Exception:
+            return None
+
     # ----------------------------------------------------------------- tags
     def save_tag_index(self, data: dict) -> None:
         tmp = self.tags_dir / "tag_index.tmp"

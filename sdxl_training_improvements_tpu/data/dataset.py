@@ -190,12 +190,28 @@ class AspectBucketDataset:
                     done += 1
                 if progress:
                     progress(done, total)
+        # cache the empty-prompt embedding once for CFG caption dropout
+        # (reference encode_prompt's proportion_empty_prompts, clip.py:52-54)
+        if total or self.cache.load_empty_prompt() is None:
+            enc = encode_prompts([""])
+            self.cache.save_empty_prompt(
+                np.asarray(enc["prompt_embeds"])[0],
+                np.asarray(enc["pooled_prompt_embeds"])[0])
         self.cache.flush()
         return done
 
     # -------------------------------------------------------------- batches
-    def get_batch(self, indices: Sequence[int]) -> Optional[Dict[str, np.ndarray]]:
-        """Stack cached tensors for a bucket-homogeneous index list."""
+    def get_batch(self, indices: Sequence[int],
+                  proportion_empty_prompts: float = 0.0,
+                  rng: Optional[np.random.Generator] = None
+                  ) -> Optional[Dict[str, np.ndarray]]:
+        """Stack cached tensors for a bucket-homogeneous index list.
+
+        ``proportion_empty_prompts`` randomly swaps conditioning rows for the
+        cached empty-prompt embedding (classifier-free-guidance dropout —
+        the reference's encode-time option, ``clip.py:52-54``, moved to
+        batch time so it works with cached embeddings).
+        """
         if self.cache is None:
             raise ValueError("get_batch requires a CacheManager")
         items = []
@@ -216,6 +232,14 @@ class AspectBucketDataset:
                 [d["pooled_prompt_embeds"] for d in items]),
             "time_ids": np.stack([d["time_ids"] for d in items]),
         }
+        if proportion_empty_prompts > 0:
+            empty = self.cache.load_empty_prompt()
+            if empty is not None:
+                rng = rng or np.random.default_rng()
+                drop = rng.random(len(items)) < proportion_empty_prompts
+                batch["prompt_embeds"][drop] = empty["prompt_embeds"]
+                batch["pooled_prompt_embeds"][drop] = \
+                    empty["pooled_prompt_embeds"]
         if self.tag_weighter is not None:
             batch["tag_weights"] = self.tag_weighter.get_batch_weights(caps)
         return batch

@@ -21,14 +21,18 @@ from sdxl_training_improvements_tpu.parallel import mesh as M
 
 
 def batches_for_epoch(dataset, batch_size: int, epoch: int = 0, seed: int = 0,
-                      num_shards: int = 1, shard: int = 0
+                      num_shards: int = 1, shard: int = 0,
+                      proportion_empty_prompts: float = 0.0
                       ) -> Iterator[Dict[str, np.ndarray]]:
     """Host-side batch iterator (bucket-homogeneous, reference contract)."""
     sampler = dataset.make_sampler(batch_size, seed=seed,
                                    num_shards=num_shards, shard=shard)
     sampler.set_epoch(epoch)
+    rng = np.random.default_rng(seed * 100003 + epoch)
     for indices in sampler:
-        batch = dataset.get_batch(indices)
+        batch = dataset.get_batch(
+            indices, proportion_empty_prompts=proportion_empty_prompts,
+            rng=rng)
         if batch is None or batch["vae_latents"].shape[0] < batch_size:
             continue  # drop ragged/invalid batches (uniform shapes for XLA)
         yield batch

@@ -188,7 +188,8 @@ class SDXLTrainer:
                 batch_iter = batches_for_epoch(
                     ds, global_batch, epoch=epoch, seed=cfg.seed,
                     num_shards=jax.process_count(),
-                    shard=jax.process_index())
+                    shard=jax.process_index(),
+                    proportion_empty_prompts=cfg.proportion_empty_prompts)
                 for batch in prefetch_to_device(batch_iter, self.mesh):
                     self.throughput.start_batch()
                     self.state, metrics = self.train_step(self.state, batch)

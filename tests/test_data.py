@@ -343,3 +343,47 @@ class TestDataset:
         # red channel ~1, green/blue ~-1
         np.testing.assert_allclose(arr[0], 1.0, atol=0.02)
         np.testing.assert_allclose(arr[1], -1.0, atol=0.02)
+
+
+class TestCFGDropout:
+    def test_empty_prompt_cache_roundtrip(self, tmp_path):
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        cm = CacheManager(tmp_path / "cache")
+        assert cm.load_empty_prompt() is None
+        cm.save_empty_prompt(np.ones((77, 32), np.float32),
+                             np.ones((16,), np.float32))
+        e = cm.load_empty_prompt()
+        np.testing.assert_array_equal(e["prompt_embeds"], 1.0)
+
+    def test_batch_dropout_swaps_rows(self, image_dataset):
+        cfg, tmp_path = image_dataset
+        from sdxl_training_improvements_tpu.data.buckets import supported_dims_buckets
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        from sdxl_training_improvements_tpu.data.dataset import AspectBucketDataset
+        from sdxl_training_improvements_tpu.data.paths import load_data_from_directory
+
+        paths, captions = load_data_from_directory(cfg.data.train_data_dir)
+        cm = CacheManager(cfg.global_config.cache.cache_dir)
+        ds = AspectBucketDataset(cfg, paths, captions, cm,
+                                 buckets=supported_dims_buckets(cfg))
+
+        def enc_i(px):
+            b, c, h, w = px.shape
+            return px.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))[:, :4]
+
+        def enc_p(caps):
+            # non-empty captions get ones, empty caption gets zeros
+            pe = np.stack([np.zeros((77, 32), np.float32) if c == "" else
+                           np.ones((77, 32), np.float32) for c in caps])
+            pooled = np.stack([np.zeros(16, np.float32) if c == "" else
+                               np.ones(16, np.float32) for c in caps])
+            return {"prompt_embeds": pe, "pooled_prompt_embeds": pooled}
+
+        ds.precompute(enc_i, enc_p, batch_size=4)
+        idxs = next(iter(ds.make_sampler(2, shuffle=False)))
+        rng = np.random.default_rng(0)
+        batch = ds.get_batch(idxs, proportion_empty_prompts=1.0, rng=rng)
+        # all rows dropped -> all zeros (the empty embedding)
+        np.testing.assert_array_equal(batch["prompt_embeds"], 0.0)
+        batch2 = ds.get_batch(idxs, proportion_empty_prompts=0.0)
+        np.testing.assert_array_equal(batch2["prompt_embeds"], 1.0)

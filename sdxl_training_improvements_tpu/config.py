@@ -180,6 +180,8 @@ class DataConfig:
     center_crop: bool = True
     random_flip: bool = True
     tokenizer_max_length: int = 77
+    # Rebuild addition: prompts sampled at checkpoint epochs (wandb imaging)
+    validation_prompts: List[str] = field(default_factory=list)
 
 
 @dataclass

@@ -218,11 +218,33 @@ class SDXLTrainer:
                         self.save_checkpoint(tag="best")
                     if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
                         self.save_checkpoint(epoch=epoch)
+                        self.run_validation_images()
                 if max_steps and int(self.state.step) >= max_steps:
                     break
         if M.is_main_process() and cfg.save_final_model:
             self.save_checkpoint(tag="final")
         return metrics
+
+    # ----------------------------------------------------------- validation
+    def run_validation_images(self) -> None:
+        """Sample ``data.validation_prompts`` and log images (wandb sampling
+        surface, BASELINE config 5).  No-op without prompts or decoders."""
+        prompts = self.config.data.validation_prompts
+        if not prompts or not {"vae", "clip_l", "clip_g"} <= set(
+                self.model.params):
+            return
+        from sdxl_training_improvements_tpu.training.validation import (
+            ValidationLogger, ValidationSampler)
+        try:
+            sampler = ValidationSampler(
+                self.model, self.tokenizers, self.schedule,
+                num_inference_steps=self.config.training.num_inference_steps)
+            size = self.config.data.image_size
+            vl = ValidationLogger(sampler, prompts, self.output_dir,
+                                  logger=self.logger, height=size, width=size)
+            vl.run_validation(self.state.params, int(self.state.step))
+        except Exception as e:  # sampling must never kill training
+            self.logger.warning(f"validation sampling failed: {e}")
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, epoch: Optional[int] = None,

@@ -244,3 +244,20 @@ class TestPipeline:
                     num_inference_steps=2, guidance_scale=2.0, seed=1)
         assert len(imgs) == 1 and imgs[0].shape == (32, 32, 3)
         assert imgs[0].dtype == np.uint8
+
+
+class TestValidationInTraining:
+    def test_validation_images_at_checkpoint(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg.training.save_every = 1
+        cfg.training.num_inference_steps = 2
+        cfg.data.image_size = 32
+        cfg.data.validation_prompts = ["a validation prompt"]
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "vout"),
+                              use_mesh=False)
+        trainer.prepare_data()
+        trainer.train(num_epochs=1)
+        pngs = list((tmp_path / "vout").glob("validation-*/*.png"))
+        assert pngs, "no validation images produced"

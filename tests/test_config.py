@@ -1,4 +1,5 @@
 """Config schema parity: the reference's src/config.yaml must load unchanged."""
+import pytest
 import textwrap
 
 from sdxl_training_improvements_tpu.config import Config
@@ -140,3 +141,28 @@ def test_scalar_section_rejected(tmp_path):
     p.write_text("model: 'not-a-dict'\n")
     with pytest.raises(ValueError, match="must be a mapping"):
         Config.from_yaml(p)
+
+
+import pathlib
+
+
+@pytest.mark.skipif(not pathlib.Path("/root/reference/src/config.yaml").exists(),
+                    reason="reference checkout not present")
+def test_reference_repo_config_loads_verbatim():
+    """The upstream framework's actual shipped config must load unchanged."""
+    cfg = Config.from_yaml("/root/reference/src/config.yaml")
+    assert cfg.model.prediction_type == "v_prediction"
+    assert cfg.model.sigma_max == 20000.0
+    assert cfg.model.use_ztsnr is True
+    assert cfg.optimizer.optimizer_type == "adamw_bf16"
+    assert cfg.optimizer.learning_rate == 4.0e-7
+    assert cfg.training.gradient_accumulation_steps == 4
+    assert cfg.training.method == "ddpm"
+    assert cfg.training.method_config.scheduler.timestep_spacing == "leading"
+    assert cfg.global_config.image.bucket_step == 64
+    assert len(cfg.global_config.image.supported_dims) == 9
+    assert cfg.tag_weighting.smoothing_factor == 0.05
+    # windows path in the shipped config converts for bucketing use
+    from sdxl_training_improvements_tpu.data.paths import convert_windows_path
+    p = convert_windows_path(cfg.data.train_data_dir[0])
+    assert str(p).startswith("/mnt/d/")

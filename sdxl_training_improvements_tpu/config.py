@@ -33,8 +33,13 @@ class ModelConfig:
     sigma_max: float = 20000.0
     use_ztsnr: bool = True
     timestep_bias_strategy: str = "none"  # none | earlier | later | range
+    # for "range": fraction bounds of the biased window
     timestep_bias_min: float = 0.0
     timestep_bias_max: float = 1.0
+    # rebuild additions: the portion/multiplier knobs the reference's
+    # generate_timestep_weights takes but never exposes in config
+    timestep_bias_portion: float = 0.25
+    timestep_bias_multiplier: float = 2.0
     min_snr_gamma: Optional[float] = 5.0
     # Reference reads config.model.rho but never defines it (defect ledger);
     # we define it with the reference function default (novelai_v3.py:164).

@@ -127,6 +127,7 @@ class AspectBucketDataset:
     # ----------------------------------------------------------- precompute
     def precompute(self, encode_images: Callable, encode_prompts: Callable,
                    batch_size: int = 8, center_crop: bool = True,
+                   random_flip: bool = False, seed: int = 0,
                    progress: Optional[Callable[[int, int], None]] = None) -> int:
         """Encode all uncached images through the supplied device functions.
 
@@ -150,16 +151,18 @@ class AspectBucketDataset:
 
         total = sum(len(v) for v in todo_by_bucket.values())
         done = 0
+        flip_rng = np.random.default_rng(seed)
         for (lh, lw), idxs in todo_by_bucket.items():
             for start in range(0, len(idxs), batch_size):
                 chunk = idxs[start:start + batch_size]
                 arrs, metas, caps, ok_idx = [], [], [], []
                 for i in chunk:
                     b = self._bucket_of[i]
+                    flip = bool(random_flip and flip_rng.random() < 0.5)
                     try:
                         with Image.open(self.image_paths[i]) as im:
                             arr, orig, crop = prepare_image_array(
-                                im, b, center_crop=center_crop)
+                                im, b, center_crop=center_crop, flip=flip)
                     except Exception:
                         continue
                     tids = compute_time_ids(orig, crop, (b.height, b.width))

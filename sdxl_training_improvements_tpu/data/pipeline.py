@@ -29,13 +29,27 @@ def batches_for_epoch(dataset, batch_size: int, epoch: int = 0, seed: int = 0,
                                    num_shards=num_shards, shard=shard)
     sampler.set_epoch(epoch)
     rng = np.random.default_rng(seed * 100003 + epoch)
+    dropped = 0
     for indices in sampler:
         batch = dataset.get_batch(
             indices, proportion_empty_prompts=proportion_empty_prompts,
             rng=rng)
         if batch is None or batch["vae_latents"].shape[0] < batch_size:
-            continue  # drop ragged/invalid batches (uniform shapes for XLA)
+            # drop ragged/invalid batches (uniform shapes for XLA).
+            # NOTE (multi-host): drops depend on cache contents; with
+            # num_shards > 1 the cache must be complete (run precompute
+            # first) or shared, else shards can diverge in step count and
+            # hang in collectives.
+            dropped += 1
+            continue
         yield batch
+    if dropped:
+        import logging
+        logging.getLogger(__name__).warning(
+            "batches_for_epoch: dropped %d incomplete batches (epoch %d)%s",
+            dropped, epoch,
+            " — DANGER: unequal drops across hosts desynchronize collectives"
+            if num_shards > 1 else "")
 
 
 def prefetch_to_device(batch_iter, mesh=None, prefetch: int = 2,

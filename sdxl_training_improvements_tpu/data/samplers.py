@@ -54,7 +54,12 @@ class BucketBatchSampler:
                 batches.append((bucket, idx[n_full * self.batch_size:].tolist()))
         if self.shuffle:
             rng.shuffle(batches)
-        # shard round-robin so all processes agree on the global order
+        # shard round-robin over a num_shards-multiple so every process gets
+        # the SAME batch count — unequal counts would desynchronize the
+        # cross-host collectives inside the jitted step
+        if self.num_shards > 1:
+            usable = len(batches) - (len(batches) % self.num_shards)
+            batches = batches[:usable]
         return batches[self.shard::self.num_shards]
 
     def __iter__(self) -> Iterator[List[int]]:

@@ -30,12 +30,13 @@ class HashTokenizer:
         self.eos_id = vocab_size - 1  # 49407 (highest id -> argmax pooling)
 
     def __call__(self, captions: Sequence[str]) -> np.ndarray:
+        import zlib  # stable across processes (hash() is per-process salted)
         out = np.full((len(captions), self.max_length), self.eos_id,
                       dtype=np.int32)
         for b, caption in enumerate(captions):
             ids = [self.bos_id]
             for tok in caption.lower().split():
-                ids.append(hash(tok) % (self.vocab_size - 3))
+                ids.append(zlib.crc32(tok.encode()) % (self.vocab_size - 3))
                 if len(ids) >= self.max_length - 1:
                     break
             ids.append(self.eos_id)

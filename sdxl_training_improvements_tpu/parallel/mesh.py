@@ -28,13 +28,18 @@ def initialize_multihost() -> None:
 
     Replaces the reference's ``setup_distributed`` port-retry dance
     (``distributed.py:88-131``) — the TPU runtime handles rendezvous.
+
+    Must run BEFORE any backend-initializing jax call (``process_count``
+    included), so cluster membership is detected from the environment, not
+    probed through jax.  Failure on a detected cluster is fatal — silently
+    degrading to per-host single-process training would diverge models.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    try:
-        jax.distributed.initialize()
-    except (RuntimeError, ValueError):
-        pass  # single-process run
+    import os
+    cluster_env = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                   "MEGASCALE_COORDINATOR_ADDRESS")
+    if not any(os.environ.get(v) for v in cluster_env):
+        return  # no cluster coordinator configured -> single-process run
+    jax.distributed.initialize()
 
 
 def create_mesh(mesh_shape: Optional[Sequence[int]] = None,

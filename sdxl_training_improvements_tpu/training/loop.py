@@ -81,7 +81,6 @@ class SDXLTrainer:
         state = create_train_state(self.model.trainable_params(),
                                    self.optimizer,
                                    seed=config.training.seed)
-        self.start_epoch = 0
         resume = config.training.resume_from
         if resume == "auto":
             ckpt = C.latest_checkpoint(self.output_dir)
@@ -98,8 +97,9 @@ class SDXLTrainer:
         self.state = state
 
         self.dataset = dataset
-        self.throughput = ThroughputMonitor(
-            batch_size=config.training.batch_size)
+        global_batch = (config.training.batch_size
+                        * max(1, config.training.gradient_accumulation_steps))
+        self.throughput = ThroughputMonitor(batch_size=global_batch)
         self.best_loss = float("inf")
 
     # ------------------------------------------------------------ builders
@@ -159,7 +159,9 @@ class SDXLTrainer:
                 return {k: np.asarray(v) for k, v in out.items()}
 
             n = ds.precompute(enc_i, enc_p,
-                              batch_size=self.config.training.batch_size)
+                              batch_size=self.config.training.batch_size,
+                              center_crop=self.config.data.center_crop,
+                              random_flip=self.config.data.random_flip)
             self.logger.info(f"Precomputed {n} latent/embedding entries")
         return ds
 
@@ -181,10 +183,15 @@ class SDXLTrainer:
                 f"({self.config.data.train_data_dir}) and batch size.")
         total_steps = max_steps or num_epochs * per_epoch
         metrics: Dict[str, float] = {}
+        log_every = max(self.config.global_config.logging.log_every, 1)
+        # resume: derive the completed-epoch count from the restored step so
+        # finished epochs are not replayed
+        step_count = int(self.state.step)
+        start_epoch = min(step_count // per_epoch, num_epochs)
 
         with profiler_trace(self.config.tpu.profile_dir):
-            for epoch in range(self.start_epoch, num_epochs):
-                epoch_losses = []
+            for epoch in range(start_epoch, num_epochs):
+                epoch_losses = []  # device scalars; pulled at epoch end
                 batch_iter = batches_for_epoch(
                     ds, global_batch, epoch=epoch, seed=cfg.seed,
                     num_shards=jax.process_count(),
@@ -193,22 +200,24 @@ class SDXLTrainer:
                 for batch in prefetch_to_device(batch_iter, self.mesh):
                     self.throughput.start_batch()
                     self.state, metrics = self.train_step(self.state, batch)
-                    step = int(self.state.step)
-                    loss = float(metrics["loss"])
+                    step_count += 1
                     self.throughput.end_batch(global_batch)
-                    epoch_losses.append(loss)
-                    if step % max(self.config.global_config.logging.log_every,
-                                  1) == 0:
+                    epoch_losses.append(metrics["loss"])
+                    # only materialise device values at the log boundary so
+                    # async dispatch keeps the device fed between logs
+                    if step_count % log_every == 0:
                         payload = {k: float(v) for k, v in metrics.items()}
                         payload.update(self.throughput.get_metrics())
                         payload.update(device_memory_stats())
                         payload["epoch"] = epoch
-                        self.logger.log_metrics(payload, step=step)
-                        self.logger.update_progress(step, total_steps)
-                    if max_steps and step >= max_steps:
+                        self.logger.log_metrics(payload, step=step_count)
+                        self.logger.update_progress(step_count, total_steps,
+                                                    n=log_every)
+                    if max_steps and step_count >= max_steps:
                         break
                 # ---- epoch end: checkpointing (reference cadence:
                 # save_every epochs + best loss + final)
+                epoch_losses = [float(x) for x in jax.device_get(epoch_losses)]
                 epoch_loss = float(np.mean(epoch_losses)) if epoch_losses \
                     else float("nan")
                 self.logger.info(f"Epoch {epoch}: mean loss {epoch_loss:.5f}")
@@ -219,11 +228,26 @@ class SDXLTrainer:
                     if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
                         self.save_checkpoint(epoch=epoch)
                         self.run_validation_images()
-                if max_steps and int(self.state.step) >= max_steps:
+                if max_steps and step_count >= max_steps:
                     break
         if M.is_main_process() and cfg.save_final_model:
             self.save_checkpoint(tag="final")
-        return metrics
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------- weights
+    def eval_params(self):
+        """Weights to evaluate/export.  Schedule-free optimizers train on the
+        interpolated y iterate but the averaged x sequence is the model you
+        ship — recover it (reference ``eval()`` intent,
+        ``adamw_schedulefree/__init__.py:57-69``)."""
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            ScheduleFreeKahanState, schedule_free_eval_params)
+        opt_state = self.state.opt_state
+        if isinstance(opt_state, ScheduleFreeKahanState):
+            return schedule_free_eval_params(
+                opt_state, self.state.params,
+                beta1=self.config.optimizer.beta1)
+        return self.state.params
 
     # ----------------------------------------------------------- validation
     def run_validation_images(self) -> None:
@@ -242,7 +266,7 @@ class SDXLTrainer:
             size = self.config.data.image_size
             vl = ValidationLogger(sampler, prompts, self.output_dir,
                                   logger=self.logger, height=size, width=size)
-            vl.run_validation(self.state.params, int(self.state.step))
+            vl.run_validation(self.eval_params(), int(self.state.step))
         except Exception as e:  # sampling must never kill training
             self.logger.warning(f"validation sampling failed: {e}")
 
@@ -255,7 +279,7 @@ class SDXLTrainer:
         self.logger.info(f"Saving checkpoint to {path}")
         C.save_train_state(path, self.state, config=self.config)
         params = dict(self.model.params)
-        params["unet"] = self.state.params
+        params["unet"] = self.eval_params()
         C.export_diffusers(path, params, config=self.config,
                            scheduler_config={
                                "prediction_type":

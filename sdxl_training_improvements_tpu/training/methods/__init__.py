@@ -48,10 +48,23 @@ def get_method(name: str) -> LossFn:
 
 def _finite_guard(loss: jnp.ndarray) -> jnp.ndarray:
     """Reference NaN posture: non-finite -> 1000.0, else clamp(max=1000)
-    (``ddpm_trainer.py:379-384``) — as a branchless jnp.where."""
-    return jnp.where(jnp.isfinite(loss),
-                     jnp.minimum(loss, LOSS_CLAMP),
+    (``ddpm_trainer.py:379-384``) — as a branchless jnp.where.
+
+    Double-where keeps the backward clean: the gradient must be exactly zero
+    (the reference detaches by constructing a fresh tensor), not NaN from
+    0 * inf through the discarded branch.
+    """
+    finite = jnp.isfinite(loss)
+    safe = jnp.where(finite, loss, 0.0)
+    return jnp.where(finite, jnp.minimum(safe, LOSS_CLAMP),
                      jnp.float32(LOSS_CLAMP))
+
+
+def _finite_elements(err: jnp.ndarray) -> jnp.ndarray:
+    """Element-level guard for squared errors: overflowed elements become a
+    large constant with ZERO gradient, so one inf pixel cannot poison the
+    whole gradient with NaN (0 * inf) while the loss still spikes visibly."""
+    return jnp.where(jnp.isfinite(err), err, jnp.float32(LOSS_CLAMP))
 
 
 def _apply_tag_weights(loss: jnp.ndarray, batch) -> jnp.ndarray:
@@ -77,8 +90,13 @@ def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
     noise = jax.random.normal(k_noise, x.shape, dtype=jnp.float32)
     weights = None
     if getattr(mcfg, "timestep_bias_strategy", "none") != "none":
+        n = schedule.num_timesteps
         weights = S.generate_timestep_weights(
-            schedule.num_timesteps, mcfg.timestep_bias_strategy)
+            n, mcfg.timestep_bias_strategy,
+            bias_portion=getattr(mcfg, "timestep_bias_portion", 0.25),
+            bias_multiplier=getattr(mcfg, "timestep_bias_multiplier", 2.0),
+            bias_begin=int(getattr(mcfg, "timestep_bias_min", 0.0) * n),
+            bias_end=int(getattr(mcfg, "timestep_bias_max", 1.0) * n))
     t = schedule.sample_timesteps(k_t, x.shape[0], weights=weights)
 
     x32 = x.astype(jnp.float32)
@@ -92,7 +110,7 @@ def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
     else:
         target = noise
 
-    mse = (pred - target) ** 2
+    mse = _finite_elements((pred - target) ** 2)
     if schedule.min_snr_gamma is not None:
         w = schedule.min_snr_weight(t)
         loss = jnp.mean(mse * w[:, None, None, None])
@@ -135,7 +153,8 @@ def flow_matching_loss(unet_apply, params, batch, rng,
     v_pred = v_pred.astype(jnp.float32)
     v_true = S.flow_matching_target(x0, x1)
 
-    per_sample = jnp.mean((v_pred - v_true) ** 2, axis=(1, 2, 3))
+    per_sample = jnp.mean(_finite_elements((v_pred - v_true) ** 2),
+                          axis=(1, 2, 3))
     loss = jnp.mean(per_sample)
     loss = _apply_tag_weights(loss, batch)
     loss = _finite_guard(loss)

@@ -96,6 +96,10 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
         grads, (losses, metrics) = jax.lax.scan(
             scan_body, zero_grads, (micro_batches, micro_keys))
         grads = jax.tree.map(lambda g: g / accum, grads)
+        # reference failure posture is log-and-continue: a non-finite grad
+        # element becomes 0 rather than poisoning the params (SURVEY.md §5.3)
+        grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
 
         gnorm = global_norm(grads)
         if clip is not None and clip > 0:

@@ -173,8 +173,12 @@ class TestTrainerLoop:
         t2 = SDXLTrainer(cfg, model=model, dataset=ds,
                          output_dir=str(tmp_path / "out"), use_mesh=False)
         assert int(t2.state.step) == step1
+        # completed epochs are NOT replayed: training to the same horizon
+        # is a no-op, extending the horizon runs only the new epoch
         t2.train(num_epochs=1)
-        assert int(t2.state.step) > step1
+        assert int(t2.state.step) == step1
+        t2.train(num_epochs=2)
+        assert int(t2.state.step) == 2 * step1
 
 
 class TestCLI:

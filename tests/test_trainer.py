@@ -199,3 +199,20 @@ class TestDataParallel:
         # some param leaf actually sharded over fsdp
         shardings = [l.sharding.spec for l in jax.tree.leaves(state.params)]
         assert any("fsdp" in str(s) for s in shardings)
+
+
+class TestNaNRobustness:
+    def test_overflow_loss_never_poisons_params(self, tiny_model):
+        """Extreme latents -> overflowed mse -> clamped loss, ZERO (not NaN)
+        gradients, finite params after the step (the reference detaches its
+        fallback loss tensor; our guards must match that posture)."""
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw"
+        step, state = build(cfg, tiny_model)
+        batch = make_batch(jax.random.key(1), 2)
+        batch["vae_latents"] = batch["vae_latents"] * 1e30  # force overflow
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))  # guarded, never NaN
+        for leaf in jax.tree.leaves(state2.params):
+            assert np.isfinite(np.asarray(leaf, np.float32)).all(), \
+                "params poisoned by non-finite gradients"

@@ -56,21 +56,26 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), sample, t0, ctx, pooled,
                                  time_ids)
 
-    def loss_fn(p, noisy, t, target, w):
-        pred = model.apply(p, noisy, t, ctx, pooled, time_ids)
-        return jnp.mean((pred.astype(jnp.float32) - target) ** 2
-                        * w[:, None, None, None])
+    from sdxl_training_improvements_tpu.config import Config
+    from sdxl_training_improvements_tpu.training.methods import get_method
+    ddpm_loss = get_method("ddpm")
+    mcfg = Config().model
+
+    def unet_apply(p, s_, t_, pe, pp, ti):
+        return model.apply(p, s_, t_, pe, pp, ti)
 
     @jax.jit
     def fwd_bwd(p, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        x = jax.random.normal(k1, sample.shape, jnp.float32)
-        noise = jax.random.normal(k2, sample.shape, jnp.float32)
-        t = sched.sample_timesteps(k3, batch)
-        noisy = sched.add_noise(x, noise, t).astype(jnp.bfloat16)
-        target = sched.get_velocity(x, noise, t)
-        w = sched.min_snr_weight(t)
-        loss, grads = jax.value_and_grad(loss_fn)(p, noisy, t, target, w)
+        k1, k2 = jax.random.split(key)
+        batch_dict = {
+            "vae_latents": jax.random.normal(k1, sample.shape, jnp.float32),
+            "prompt_embeds": ctx,
+            "pooled_prompt_embeds": pooled,
+            "time_ids": time_ids,
+        }
+        (loss, _), grads = jax.value_and_grad(
+            lambda pp_: ddpm_loss(unet_apply, pp_, batch_dict, k2, sched,
+                                  mcfg), has_aux=True)(p)
         gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                              for g in jax.tree.leaves(grads)))
         return loss, gnorm

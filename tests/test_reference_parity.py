@@ -1,0 +1,187 @@
+"""Bit-level parity against the ACTUAL reference implementation.
+
+These tests import the upstream framework's torch code read-only (the
+stochastic-rounding kernels are pure torch, no GPU/diffusers needed) and
+check our JAX ops produce bit-identical results when fed the same rounding
+noise.  Skipped when the reference checkout or torch is unavailable.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def _load_reference_stochastic():
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        pytest.skip("torch unavailable")
+    import pathlib
+    if not pathlib.Path(REF, "src").exists():
+        pytest.skip("reference checkout not present")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # the reference's package __init__ chain pulls optional deps we don't
+    # ship (wandb, colorama, spacy, diffusers); stub them — we only execute
+    # the pure-torch stochastic kernels
+    import types
+    import unittest.mock as mock
+    for name in ("wandb", "colorama", "spacy", "diffusers", "tqdm.auto"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                stub = types.ModuleType(name)
+                stub.__getattr__ = lambda _n, _m=mock.MagicMock(): _m
+                stub.__spec__ = __import__("importlib").machinery.ModuleSpec(
+                    name, loader=None)
+                sys.modules[name] = stub
+    try:
+        from src.training.optimizers.adamw_bfloat16 import stochastic
+        return stochastic
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+
+
+@pytest.fixture(scope="module")
+def ref_stochastic():
+    return _load_reference_stochastic()
+
+
+def fixed_noise_torch(monkeypatch, ref_stochastic, noise_np):
+    """Force the reference's randint to deterministic values."""
+    import torch
+
+    def fake_randint_like(source, dtype=None, low=0, high=0):
+        return torch.from_numpy(noise_np.astype(np.int32)).reshape(
+            source.shape)
+
+    monkeypatch.setattr(torch, "randint_like", fake_randint_like)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_stochastic_round_bit_exact_vs_reference(ref_stochastic, monkeypatch,
+                                                 seed):
+    """reference copy_stochastic_ == our stochastic_round_bits, same noise."""
+    import torch
+    import jax.numpy as jnp
+    from sdxl_training_improvements_tpu.ops.stochastic import (
+        stochastic_round_bits)
+
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(512).astype(np.float32)
+         * np.exp(rng.uniform(-20, 10, 512)).astype(np.float32))
+    noise = rng.integers(0, 1 << 16, 512).astype(np.uint32)
+
+    # reference path
+    fixed_noise_torch(monkeypatch, ref_stochastic, noise)
+    target = torch.zeros(512, dtype=torch.bfloat16)
+    ref_stochastic.copy_stochastic_(target, torch.from_numpy(x))
+    ref_out = target.to(torch.float32).numpy()
+
+    # our path
+    ours = np.asarray(stochastic_round_bits(jnp.asarray(x),
+                                            jnp.asarray(noise)),
+                      dtype=np.float32)
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_add_stochastic_bit_exact_alpha1(ref_stochastic, monkeypatch):
+    """alpha=1 (symmetric) case: reference add_stochastic_ == ours."""
+    import torch
+    import jax.numpy as jnp
+    from sdxl_training_improvements_tpu.ops.stochastic import (
+        add_stochastic_bits)
+
+    rng = np.random.default_rng(7)
+    acc = rng.standard_normal(256).astype(np.float32)
+    other = (rng.standard_normal(256) * 1e-3).astype(np.float32)
+    noise = rng.integers(0, 1 << 16, 256).astype(np.uint32)
+
+    fixed_noise_torch(monkeypatch, ref_stochastic, noise)
+    t_acc = torch.from_numpy(acc).to(torch.bfloat16)
+    ref_stochastic.add_stochastic_(t_acc, torch.from_numpy(other), alpha=1.0)
+    ref_out = t_acc.to(torch.float32).numpy()
+
+    ours = np.asarray(
+        add_stochastic_bits(jnp.asarray(acc).astype(jnp.bfloat16),
+                            jnp.asarray(other), jnp.asarray(noise),
+                            alpha=1.0), dtype=np.float32)
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_reference_add_stochastic_alpha_bug_documented(ref_stochastic,
+                                                       monkeypatch):
+    """REFERENCE DEFECT (found via this parity harness): for alpha != 1 the
+    reference computes other + alpha*input — alpha multiplies the
+    ACCUMULATOR, contradicting its own docstring ('a multiplier for other')
+    and the intended Adam momentum update in _make_step (the 'Originally:
+    exp_avg.mul_(beta1).add_(grad, alpha=1-beta1)' comment).  We implement
+    the documented/intended semantics (input + alpha*other); this test pins
+    the divergence so the deviation is deliberate, not accidental."""
+    import torch
+    import jax.numpy as jnp
+    from sdxl_training_improvements_tpu.ops.stochastic import (
+        add_stochastic_bits, stochastic_round_bits)
+
+    rng = np.random.default_rng(11)
+    acc = rng.standard_normal(128).astype(np.float32)
+    other = rng.standard_normal(128).astype(np.float32)
+    noise = rng.integers(0, 1 << 16, 128).astype(np.uint32)
+    alpha = 0.1
+    acc_bf16 = torch.from_numpy(acc).to(torch.bfloat16)
+    acc_as_f32 = acc_bf16.to(torch.float32).numpy()
+
+    fixed_noise_torch(monkeypatch, ref_stochastic, noise)
+    t_acc = acc_bf16.clone()
+    ref_stochastic.add_stochastic_(t_acc, torch.from_numpy(other),
+                                   alpha=alpha)
+    ref_out = t_acc.to(torch.float32).numpy()
+
+    # the reference actually computed SR(other + alpha*acc)...
+    swapped = np.asarray(stochastic_round_bits(
+        jnp.asarray(other + alpha * acc_as_f32), jnp.asarray(noise)),
+        dtype=np.float32)
+    np.testing.assert_array_equal(ref_out, swapped)
+
+    # ...while the documented semantics (ours) is SR(acc + alpha*other)
+    ours = np.asarray(
+        add_stochastic_bits(jnp.asarray(acc).astype(jnp.bfloat16),
+                            jnp.asarray(other), jnp.asarray(noise),
+                            alpha=alpha), dtype=np.float32)
+    assert not np.array_equal(ours, ref_out)
+
+
+def test_karras_sigmas_match_reference_function():
+    """Our sigmas == the reference's get_karras_sigmas (pure torch)."""
+    _load_reference_stochastic()  # ensures sys.path + torch
+    try:
+        import importlib
+        spec = importlib.util.spec_from_file_location(
+            "_ref_sched_isolated",
+            f"{REF}/src/training/schedulers/novelai_v3.py")
+        # novelai_v3 imports diffusers at module level -> can't import whole
+        # module; extract the pure function by executing only its source def
+        src = open(f"{REF}/src/training/schedulers/novelai_v3.py").read()
+        start = src.index("def get_karras_sigmas(")
+        end = src.index("def get_sigmas(", start)
+        ns = {}
+        import torch
+        from typing import Optional, Union
+        exec("import torch\nfrom typing import Optional, Union\n"
+             + src[start:end], ns)
+        ref_fn = ns["get_karras_sigmas"]
+    except Exception as e:
+        pytest.skip(f"could not extract reference function: {e}")
+
+    from sdxl_training_improvements_tpu.training.schedules import (
+        karras_sigmas)
+    for n, smin, smax, rho in [(1000, 0.002, 20000.0, 7.0),
+                               (50, 0.002, 80.0, 7.0),
+                               (10, 0.1, 10.0, 3.0)]:
+        ref = ref_fn(n_sigmas=n, sigma_min=smin, sigma_max=smax,
+                     rho=rho).numpy()
+        ours = np.asarray(karras_sigmas(n, smin, smax, rho))
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-7)

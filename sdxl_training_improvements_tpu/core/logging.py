@@ -251,6 +251,16 @@ class WandbLogger:
             self._run = None
 
 
+class NullWandb(WandbLogger):
+    """Inert WandbLogger: same surface, never initialises a run."""
+
+    def __init__(self, prefix: str = "", max_images_to_log: int = 16):
+        self.prefix = prefix
+        self.max_images = max_images_to_log
+        self._run = None
+        self._wandb = None
+
+
 # --------------------------------------------------------------- unified
 
 class UnifiedLogger:
@@ -289,12 +299,7 @@ class UnifiedLogger:
         self.wandb = (WandbLogger(self.config.wandb_project,
                                   self.config.wandb_entity,
                                   self.config.wandb_run_name)
-                      if self.config.use_wandb else WandbLogger.__new__(WandbLogger))
-        if not self.config.use_wandb:  # inert instance
-            self.wandb._run = None
-            self.wandb._wandb = None
-            self.wandb.prefix = ""
-            self.wandb.max_images = 16
+                      if self.config.use_wandb else NullWandb())
 
     # standard logger passthrough
     def debug(self, msg, *a, **k): self.logger.debug(msg, *a, **k)

@@ -8,10 +8,19 @@ caption's weight is the geometric mean of the per-category mean weights
 (``:451-482``).  Weights reach the loss as ``batch["tag_weights"]``
 (``ddpm_trainer.py:347-368`` / ``methods._apply_tag_weights``).
 
-The reference categorizes with spaCy NLP (``:171-235``); spaCy is optional
-here — when unavailable the heuristic keyword/pattern categorizer below is
-used (covering the same explicit ``category:`` prefixes and the common
-quality/technical/style vocabularies the reference special-cases).
+The reference categorizes with spaCy NLP (``:171-235``); this rebuild
+deliberately replaces that with the pure-python heuristic keyword/pattern
+categorizer below (same explicit ``category:`` prefixes and the common
+quality/technical/style vocabularies the reference special-cases) — no spaCy
+dependency, no spaCy code path.
+
+Weight-formula note: the reference contains TWO caption-weight formulas —
+the trainer-side arithmetic mean of raw tag weights
+(``ddpm_trainer.py:347-368``) and ``get_caption_weight``'s geometric mean of
+per-category means (``tag_weighter.py:451-482``).  This rebuild feeds the
+loss the geometric-mean formula (the one the reference's TagWeighter itself
+documents as the caption weight); chosen deliberately, covered by golden
+tests in ``tests/test_tags.py``.
 """
 from __future__ import annotations
 

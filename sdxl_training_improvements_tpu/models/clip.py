@@ -65,7 +65,9 @@ def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
     if name == "gelu":
-        return nn.gelu
+        # HF "gelu" is the exact erf GELU (transformers GELUActivation),
+        # not flax's default tanh approximation
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(f"Unknown activation: {name}")
 
 

@@ -183,7 +183,10 @@ class GEGLU(nn.Module):
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers' GEGLU uses F.gelu, not the tanh
+        # approximation that is flax's default (fp32 for erf accuracy)
+        return h * nn.gelu(gate.astype(jnp.float32),
+                           approximate=False).astype(h.dtype)
 
 
 class FeedForward(nn.Module):

@@ -9,12 +9,15 @@ scaled sampled latents), and the UNet apply used by the trainer.  Weight I/O
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
+from sdxl_training_improvements_tpu.core.types import (
+    DataType, ModelWeightDtypes, Policy)
 from sdxl_training_improvements_tpu.models.clip import (
     CLIPTextConfig, CLIPTextModel, encode_dual)
 from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
@@ -32,11 +35,23 @@ class SDXLModel:
     # ------------------------------------------------------------- builders
     @classmethod
     def create(cls, *, tiny: bool = False, dtype=jnp.bfloat16,
+               policy: Optional[Policy] = None,
+               weight_dtypes: Optional[ModelWeightDtypes] = None,
+               remat: Optional[bool] = None,
+               use_pallas: Optional[bool] = None,
                init_rng: Optional[jax.Array] = None,
                init_components=("unet",), latent_size: int = 16) -> "SDXLModel":
         """Random-init bundle.  ``tiny`` builds the CPU-testable miniature;
         otherwise full SDXL-base architecture.  Only ``init_components`` get
-        params (CLIP/VAE are usually loaded from a checkpoint instead)."""
+        params (CLIP/VAE are usually loaded from a checkpoint instead).
+
+        ``policy`` (``core.types.Policy``) is the single mixed-precision
+        source: ``param_dtype``/``compute_dtype`` flow into the UNet.  The
+        ``remat`` / ``use_pallas`` toggles are the ``config.tpu.remat`` /
+        ``tpu.use_pallas_attention`` knobs (None keeps each config's
+        default, i.e. on for full SDXL, off for tiny)."""
+        if policy is not None:
+            dtype = policy.compute_dtype
         if tiny:
             ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
             lcfg = CLIPTextConfig.tiny()
@@ -44,11 +59,26 @@ class SDXLModel:
         else:
             ucfg, vcfg = UNetConfig.sdxl(), VAEConfig.sdxl()
             lcfg, gcfg = CLIPTextConfig.clip_l(), CLIPTextConfig.clip_g()
+        overrides = {}
+        if remat is not None:
+            overrides["remat"] = remat
+        if use_pallas is not None:
+            overrides["use_pallas"] = use_pallas
+        if overrides:
+            ucfg = dataclasses.replace(ucfg, **overrides)
+        param_dtype = policy.param_dtype if policy is not None else dtype
+        # per-component weight dtypes (reference ModelWeightDtypes,
+        # ``src/core/types.py:40-118``): UNet follows the policy, text
+        # encoders follow ``weight_dtypes.text_encoder``, VAE is pinned fp32
+        # (reference ``vae.py:23``) regardless.
+        wd = weight_dtypes or ModelWeightDtypes.from_single_dtype(
+            DataType.from_str(str(jnp.dtype(dtype))))
+        te_dt, te2_dt = wd.text_encoder.to_jnp(), wd.text_encoder_2.to_jnp()
         model = cls(
-            unet=SDXLUNet(config=ucfg, dtype=dtype, param_dtype=dtype),
+            unet=SDXLUNet(config=ucfg, dtype=dtype, param_dtype=param_dtype),
             vae=AutoencoderKL(vcfg),  # fp32 (reference vae.py:23)
-            clip_l=CLIPTextModel(lcfg),
-            clip_g=CLIPTextModel(gcfg),
+            clip_l=CLIPTextModel(lcfg, dtype=te_dt, param_dtype=te_dt),
+            clip_g=CLIPTextModel(gcfg, dtype=te2_dt, param_dtype=te2_dt),
         )
         if init_rng is not None:
             model.init_params(init_rng, components=init_components,

@@ -30,6 +30,7 @@ from sdxl_training_improvements_tpu.core.logging import (
     LogConfig, UnifiedLogger, setup_logging)
 from sdxl_training_improvements_tpu.core.profiling import (
     ThroughputMonitor, device_memory_stats, profiler_trace)
+from sdxl_training_improvements_tpu.core.types import Policy
 from sdxl_training_improvements_tpu.data.dataset import (
     AspectBucketDataset, create_dataset)
 from sdxl_training_improvements_tpu.data.pipeline import (
@@ -107,10 +108,14 @@ class SDXLTrainer:
         name = self.config.model.pretrained_model_name
         tiny = self.config.model.model_type in ("sdxl_tiny", "sdxl-tiny",
                                                 "tiny")
-        model = SDXLModel.create(tiny=tiny,
-                                 dtype=jnp.bfloat16
-                                 if self.config.training.mixed_precision == "bf16"
-                                 else jnp.float32)
+        # core.types.Policy is the single mixed-precision source
+        # (reference ModelWeightDtypes role, ``src/core/types.py:40-118``);
+        # config.tpu.{remat,use_pallas_attention} thread into UNetConfig here.
+        policy = Policy.from_mixed_precision(
+            self.config.training.mixed_precision)
+        model = SDXLModel.create(tiny=tiny, policy=policy,
+                                 remat=self.config.tpu.remat,
+                                 use_pallas=self.config.tpu.use_pallas_attention)
         local = Path(name)
         if local.exists():
             self.logger.info(f"Loading pretrained SDXL from {local}")

@@ -61,7 +61,7 @@ def main():
     ddpm_loss = get_method("ddpm")
     mcfg = Config().model
 
-    def unet_apply(p, s_, t_, pe, pp, ti):
+    def unet_apply(p, s_, t_, pe, pp, ti, rng=None):
         return model.apply(p, s_, t_, pe, pp, ti)
 
     @jax.jit

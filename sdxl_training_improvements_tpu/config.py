@@ -99,6 +99,24 @@ class MethodConfig:
 
 
 @dataclass
+class LoRAConfig:
+    """LoRA fine-tuning (reference ``src/models/adapters/lora.py:11-56``,
+    never wired into the reference trainer — first-class here).
+
+    ``targets`` are regexes over flax param paths; the default covers every
+    attention projection in the UNet.  ``dropout`` matches the reference's
+    branch dropout (``lora.py:24``): applied to the LoRA branch input at
+    train time.
+    """
+
+    enabled: bool = False
+    rank: int = 4
+    alpha: float = 1.0
+    dropout: float = 0.0
+    targets: Optional[List[str]] = None  # None -> lora.DEFAULT_TARGETS
+
+
+@dataclass
 class TrainingConfig:
     """Mirrors reference ``TrainingConfig`` (``src/data/config.py:153-181``)."""
 
@@ -123,6 +141,7 @@ class TrainingConfig:
     resume_from: Optional[str] = None  # checkpoint dir to resume from
     seed: int = 42
     proportion_empty_prompts: float = 0.0  # CFG caption dropout at batch time
+    lora: LoRAConfig = field(default_factory=LoRAConfig)
 
 
 @dataclass

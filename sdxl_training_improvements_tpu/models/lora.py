@@ -82,15 +82,71 @@ def lora_merge(params, lora_tree: Dict[str, Dict[str, jnp.ndarray]],
     return walk(params)
 
 
+def _dropout_interceptor(lora_tree, alpha: float, dropout: float,
+                         rng: jax.Array, matched: set):
+    """flax method interceptor adding the LoRA branch with real input
+    dropout to every targeted Dense: ``out = base(x) +
+    alpha * (dropout(x) @ down) @ up`` — the reference branch semantics
+    (``lora.py:24,49-52``), impossible to express by weight merging."""
+    from flax import linen as nn
+    import zlib
+    keep = 1.0 - dropout
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if type(mod) is not nn.Dense or context.method_name != "__call__":
+            return next_fun(*args, **kwargs)
+        path = "params/" + "/".join(mod.path) + "/kernel"
+        pair = lora_tree.get(path)
+        if pair is None:
+            return next_fun(*args, **kwargs)
+        matched.add(path)
+        x = args[0]
+        key = jax.random.fold_in(rng, zlib.crc32(path.encode()))
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        xd = jnp.where(mask, x.astype(jnp.float32) / keep, 0.0)
+        delta = (xd @ pair["down"].astype(jnp.float32)
+                 ) @ pair["up"].astype(jnp.float32) * alpha
+        out = next_fun(*args, **kwargs)
+        return out + delta.astype(out.dtype)
+
+    return interceptor
+
+
 def lora_train_wrappers(base_params, unet_apply: Callable, rng: jax.Array,
                         rank: int = 4, alpha: float = 1.0,
-                        targets: Sequence[str] = DEFAULT_TARGETS
+                        targets: Sequence[str] = DEFAULT_TARGETS,
+                        dropout: float = 0.0, module=None
                         ) -> Tuple[dict, Callable]:
     """(lora_params, apply_fn) where apply_fn(lora_params, *args) runs the
-    UNet with merged weights — the trainable tree is the LoRA tree only."""
-    lora_params = lora_init(base_params, rng, rank=rank, targets=targets)
+    UNet with the LoRA adaptation — the trainable tree is the LoRA tree only.
 
-    def apply_fn(lora_tree, *args, **kwargs):
+    Two execution paths:
+    * merge path (dropout off, or no step rng supplied -> eval): base +
+      alpha*down@up folded into the kernels, one rank-r matmul per layer,
+      fused by XLA into the step;
+    * branch path (``dropout > 0`` and ``rng=`` passed): flax method
+      interception adds ``alpha * up(down(dropout(x)))`` at each targeted
+      Dense — requires ``module`` (the flax UNet) to apply against.
+    """
+    lora_params = lora_init(base_params, rng, rank=rank, targets=targets)
+    if dropout > 0.0 and module is None:
+        raise ValueError("LoRA dropout needs module= (the flax UNet) for "
+                         "branch-mode application")
+
+    def apply_fn(lora_tree, *args, rng=None, **kwargs):
+        if dropout > 0.0 and rng is not None:
+            from flax import linen as nn
+            matched: set = set()
+            with nn.intercept_methods(_dropout_interceptor(
+                    lora_tree, alpha, dropout, rng, matched)):
+                out = module.apply(base_params, *args, **kwargs)
+            missing = set(lora_tree) - matched
+            if missing:
+                raise ValueError(
+                    f"{len(missing)} LoRA pairs never reached a Dense during "
+                    f"apply (path mismatch), e.g. {sorted(missing)[:3]}")
+            return out
         merged = lora_merge(base_params, lora_tree, alpha=alpha)
         return unet_apply(merged, *args, **kwargs)
 

@@ -115,7 +115,10 @@ class SDXLModel:
 
     # ------------------------------------------------------------- compute
     def unet_apply(self, unet_params, sample, timesteps, prompt_embeds,
-                   pooled_prompt_embeds, time_ids):
+                   pooled_prompt_embeds, time_ids, rng=None):
+        """``rng`` is part of the trainer apply contract (consumed by
+        stochastic adapters like LoRA-with-dropout); the plain UNet is
+        deterministic and ignores it."""
         return self.unet.apply(unet_params, sample, timesteps, prompt_embeds,
                                pooled_prompt_embeds, time_ids)
 

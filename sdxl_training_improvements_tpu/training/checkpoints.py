@@ -103,6 +103,62 @@ def export_diffusers(ckpt_dir, model_params: dict, config=None,
             json.dumps(config.to_dict(), indent=2, default=str))
 
 
+def export_lora(ckpt_dir, lora_tree: dict, rank: int, alpha: float,
+                prefix: str = "unet") -> Path:
+    """Write the LoRA tree as ``pytorch_lora_weights.safetensors`` in the
+    diffusers/peft key layout: ``unet.<module>.lora_A.weight`` [r, in] /
+    ``lora_B.weight`` [out, r] (torch Linear layout), plus a
+    ``lora_config.json`` sidecar with rank/alpha.
+
+    Tree keys are flax param paths ("params/<mods>/kernel" with down [in,r],
+    up [r,out]) as produced by ``models.lora.lora_init``.
+    """
+    ckpt_dir = Path(ckpt_dir)
+    state = {}
+    for path, pair in lora_tree.items():
+        mods = [p for p in path.split("/") if p not in ("params", "kernel")]
+        hf = ".".join(W._flax_seg_to_hf(m) for m in mods)
+        state[f"{prefix}.{hf}.lora_A.weight"] = np.asarray(pair["down"]).T
+        state[f"{prefix}.{hf}.lora_B.weight"] = np.asarray(pair["up"]).T
+    out = ckpt_dir / "pytorch_lora_weights.safetensors"
+    W.save_safetensors(state, out)
+    (ckpt_dir / "lora_config.json").write_text(json.dumps(
+        {"r": rank, "lora_alpha": alpha, "base": prefix}, indent=2))
+    return out
+
+
+def import_lora(path, base_params, prefix: str = "unet") -> dict:
+    """Inverse of ``export_lora``: safetensors -> flax LoRA tree.
+
+    ``base_params`` (the UNet param tree) supplies the flax path for each
+    exported module — hf dots don't encode flax segment boundaries, so the
+    mapping is template-driven like ``hf_to_flax_params``.
+    """
+    from safetensors.numpy import load_file
+    from sdxl_training_improvements_tpu.models.lora import _flat
+    state = load_file(str(path))
+    # hf module string -> flax kernel path, for every kernel in the model
+    reverse = {}
+    for flax_path in _flat(base_params):
+        if not flax_path.endswith("/kernel"):
+            continue
+        mods = [p for p in flax_path.split("/")
+                if p not in ("params", "kernel")]
+        reverse[".".join(W._flax_seg_to_hf(m) for m in mods)] = flax_path
+    tree: dict = {}
+    for k, v in state.items():
+        if not k.endswith((".lora_A.weight", ".lora_B.weight")):
+            continue
+        mods, which = k.rsplit(".lora_", 1)
+        mods = mods[len(prefix) + 1:]  # drop "unet." prefix
+        flax_path = reverse.get(mods)
+        if flax_path is None:
+            raise KeyError(f"LoRA key {k!r} matches no kernel in the model")
+        pair = tree.setdefault(flax_path, {})
+        pair["down" if which.startswith("A") else "up"] = v.T
+    return tree
+
+
 def import_diffusers(model, model_dir, dtype=None) -> dict:
     """Load component params from a diffusers-layout directory into the
     SDXLModel's param dict (components present on disk only)."""

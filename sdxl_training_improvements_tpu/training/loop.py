@@ -74,13 +74,33 @@ class SDXLTrainer:
         # ----- schedule / optimizer / step
         self.schedule = NoiseSchedule.from_config(config)
         self.optimizer = make_optimizer(config)
+
+        # LoRA path (training.lora.enabled): the trainable tree becomes the
+        # LoRA pairs and the step applies base+delta (reference adapter the
+        # reference never wired, ``src/models/adapters/lora.py:11-56``).
+        lcfg = config.training.lora
+        self.lora_apply = None
+        if lcfg.enabled:
+            from sdxl_training_improvements_tpu.models.lora import (
+                DEFAULT_TARGETS, lora_train_wrappers)
+            trainable, apply_fn = lora_train_wrappers(
+                self.model.trainable_params(), self.model.unet_apply,
+                jax.random.key(config.training.seed + 1),
+                rank=lcfg.rank, alpha=lcfg.alpha,
+                targets=tuple(lcfg.targets) if lcfg.targets
+                else DEFAULT_TARGETS,
+                dropout=lcfg.dropout, module=self.model.unet)
+            self.lora_apply = apply_fn
+        else:
+            trainable, apply_fn = (self.model.trainable_params(),
+                                   self.model.unet_apply)
+
         self.train_step = make_train_step(
-            self.model.unet_apply, self.schedule, self.optimizer, config,
+            apply_fn, self.schedule, self.optimizer, config,
             mesh=self.mesh, donate=config.tpu.donate_state)
 
         # ----- state (fresh or resumed)
-        state = create_train_state(self.model.trainable_params(),
-                                   self.optimizer,
+        state = create_train_state(trainable, self.optimizer,
                                    seed=config.training.seed)
         resume = config.training.resume_from
         if resume == "auto":
@@ -284,7 +304,18 @@ class SDXLTrainer:
         self.logger.info(f"Saving checkpoint to {path}")
         C.save_train_state(path, self.state, config=self.config)
         params = dict(self.model.params)
-        params["unet"] = self.eval_params()
+        if self.lora_apply is not None:
+            # LoRA run: ship the adapter (diffusers pytorch_lora_weights
+            # layout) AND the merged UNet for drop-in inference
+            from sdxl_training_improvements_tpu.models.lora import lora_merge
+            lcfg = self.config.training.lora
+            lora_tree = self.eval_params()
+            C.export_lora(path, jax.tree.map(np.asarray, lora_tree),
+                          rank=lcfg.rank, alpha=lcfg.alpha)
+            params["unet"] = lora_merge(self.model.trainable_params(),
+                                        lora_tree, alpha=lcfg.alpha)
+        else:
+            params["unet"] = self.eval_params()
         C.export_diffusers(path, params, config=self.config,
                            scheduler_config={
                                "prediction_type":

@@ -86,23 +86,32 @@ def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
     ``(eps-x)/sigma``, MinSNR-weighted MSE, tag weighting, finite guard.
     """
     x = batch["vae_latents"]
-    k_noise, k_t = jax.random.split(rng)
-    noise = jax.random.normal(k_noise, x.shape, dtype=jnp.float32)
-    weights = None
-    if getattr(mcfg, "timestep_bias_strategy", "none") != "none":
-        n = schedule.num_timesteps
-        weights = S.generate_timestep_weights(
-            n, mcfg.timestep_bias_strategy,
-            bias_portion=getattr(mcfg, "timestep_bias_portion", 0.25),
-            bias_multiplier=getattr(mcfg, "timestep_bias_multiplier", 2.0),
-            bias_begin=int(getattr(mcfg, "timestep_bias_min", 0.0) * n),
-            bias_end=int(getattr(mcfg, "timestep_bias_max", 1.0) * n))
-    t = schedule.sample_timesteps(k_t, x.shape[0], weights=weights)
+    k_noise, k_t, k_apply = jax.random.split(rng, 3)
+    # deterministic-replay overrides: when the batch carries explicit
+    # "noise"/"timesteps" (parity harnesses, reproduction of a logged step),
+    # consume them instead of sampling — the loss becomes a pure function of
+    # the batch.
+    noise = batch.get("noise")
+    if noise is None:
+        noise = jax.random.normal(k_noise, x.shape, dtype=jnp.float32)
+    t = batch.get("timesteps")
+    if t is None:
+        weights = None
+        if getattr(mcfg, "timestep_bias_strategy", "none") != "none":
+            n = schedule.num_timesteps
+            weights = S.generate_timestep_weights(
+                n, mcfg.timestep_bias_strategy,
+                bias_portion=getattr(mcfg, "timestep_bias_portion", 0.25),
+                bias_multiplier=getattr(mcfg, "timestep_bias_multiplier", 2.0),
+                bias_begin=int(getattr(mcfg, "timestep_bias_min", 0.0) * n),
+                bias_end=int(getattr(mcfg, "timestep_bias_max", 1.0) * n))
+        t = schedule.sample_timesteps(k_t, x.shape[0], weights=weights)
 
     x32 = x.astype(jnp.float32)
     noisy = schedule.add_noise(x32, noise, t)
     pred = unet_apply(params, noisy, t, batch["prompt_embeds"],
-                      batch["pooled_prompt_embeds"], batch["time_ids"])
+                      batch["pooled_prompt_embeds"], batch["time_ids"],
+                      rng=k_apply)
     pred = pred.astype(jnp.float32)
 
     if schedule.prediction_type == "v_prediction":
@@ -143,13 +152,18 @@ def flow_matching_loss(unet_apply, params, batch, rng,
     ledger defect we do not carry).
     """
     x1 = batch["vae_latents"].astype(jnp.float32)
-    k_t, k_x0 = jax.random.split(rng)
-    t = S.sample_logit_normal(k_t, (x1.shape[0],))
-    x0 = jax.random.normal(k_x0, x1.shape, dtype=jnp.float32)
+    k_t, k_x0, k_apply = jax.random.split(rng, 3)
+    t = batch.get("timesteps")  # deterministic-replay override (see ddpm)
+    if t is None:
+        t = S.sample_logit_normal(k_t, (x1.shape[0],))
+    x0 = batch.get("noise")
+    if x0 is None:
+        x0 = jax.random.normal(k_x0, x1.shape, dtype=jnp.float32)
 
     xt = S.optimal_transport_path(x0, x1, t)
     v_pred = unet_apply(params, xt, t, batch["prompt_embeds"],
-                        batch["pooled_prompt_embeds"], batch["time_ids"])
+                        batch["pooled_prompt_embeds"], batch["time_ids"],
+                        rng=k_apply)
     v_pred = v_pred.astype(jnp.float32)
     v_true = S.flow_matching_target(x0, x1)
 

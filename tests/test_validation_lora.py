@@ -88,6 +88,110 @@ class TestLoRA:
         assert vocab == old[0]
 
 
+class TestLoRAConfigPath:
+    """training.lora.* is a first-class config path (round-2 item): the
+    trainer trains the LoRA tree only, dropout matches the reference branch
+    semantics (``lora.py:24``), and the adapter exports/imports in the
+    diffusers pytorch_lora_weights layout."""
+
+    def _batch(self, model, b=2):
+        ucfg = model.unet_config
+        k = jax.random.key(9)
+        return {
+            "vae_latents": jax.random.normal(k, (b, 4, 16, 16)),
+            "prompt_embeds": jnp.zeros((b, 77, ucfg.cross_attention_dim)),
+            "pooled_prompt_embeds": jnp.zeros((b, ucfg.pooled_embed_dim)),
+            "time_ids": jnp.zeros((b, 6)),
+        }
+
+    def test_config_only_lora_finetune_smoke(self, model, tmp_path):
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg = Config()
+        cfg.model.model_type = "sdxl_tiny"
+        cfg.model.pretrained_model_name = "/nonexistent"
+        cfg.training.mixed_precision = "no"
+        cfg.training.batch_size = 2
+        cfg.training.lora.enabled = True
+        cfg.training.lora.rank = 2
+        cfg.training.lora.alpha = 1.0
+        cfg.tpu.donate_state = False
+        cfg.global_config.logging.log_dir = str(tmp_path / "logs")
+        trainer = SDXLTrainer(cfg, model=model,
+                              output_dir=str(tmp_path / "out"),
+                              use_mesh=False)
+        # trainable tree is the LoRA tree, not the UNet
+        assert all("/kernel" in k for k in trainer.state.params)
+        base_before = jax.tree.map(
+            lambda x: np.asarray(x).copy(), model.params["unet"])
+        state2, metrics = trainer.train_step(trainer.state,
+                                             self._batch(model))
+        assert np.isfinite(float(metrics["loss"]))
+        # LoRA params moved...
+        moved = any(
+            not np.allclose(np.asarray(a["up"]), np.asarray(b_["up"]))
+            for a, b_ in zip(trainer.state.params.values(),
+                             state2.params.values()))
+        assert moved
+        # ...base params did not
+        for (p_a, a), (p_b, b_) in zip(
+                jax.tree_util.tree_flatten_with_path(base_before)[0],
+                jax.tree_util.tree_flatten_with_path(
+                    model.params["unet"])[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        # checkpoint writes the adapter file + merged unet
+        trainer.state = state2
+        path = trainer.save_checkpoint(tag="final")
+        assert (path / "pytorch_lora_weights.safetensors").exists()
+        assert (path / "unet" /
+                "diffusion_pytorch_model.safetensors").exists()
+
+    def test_dropout_branch_mode(self, model):
+        """dropout>0 uses the interception branch: stochastic at train time
+        (different rng -> different output), zero-delta at init regardless."""
+        base = model.params["unet"]
+        lora_params, apply_fn = lora_train_wrappers(
+            base, model.unet_apply, jax.random.key(0), rank=2,
+            dropout=0.5, module=model.unet)
+        b = self._batch(model)
+        args = (b["vae_latents"], jnp.zeros((2,)), b["prompt_embeds"],
+                b["pooled_prompt_embeds"], b["time_ids"])
+        out_base = model.unet_apply(base, *args)
+        # up==0 -> delta 0 even under dropout
+        out1 = apply_fn(lora_params, *args, rng=jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out_base),
+                                   rtol=1e-6)
+        # non-zero up: branch is stochastic in rng, merge path (no rng) isn't
+        lp = {k: {"down": v["down"],
+                  "up": jnp.ones_like(v["up"])}
+              for k, v in lora_params.items()}
+        o_a = apply_fn(lp, *args, rng=jax.random.key(2))
+        o_b = apply_fn(lp, *args, rng=jax.random.key(3))
+        assert not np.allclose(np.asarray(o_a), np.asarray(o_b))
+        o_det = apply_fn(lp, *args)
+        np.testing.assert_array_equal(np.asarray(o_det),
+                                      np.asarray(apply_fn(lp, *args)))
+
+    def test_lora_export_import_roundtrip(self, model, tmp_path):
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_lora, import_lora)
+        base = model.params["unet"]
+        lora = lora_init(base, jax.random.key(4), rank=3)
+        # give up-matrices real values so the roundtrip is non-trivial
+        lora = {k: {"down": v["down"],
+                    "up": jax.random.normal(jax.random.key(5),
+                                            v["up"].shape)}
+                for k, v in lora.items()}
+        out = export_lora(tmp_path, lora, rank=3, alpha=1.0)
+        back = import_lora(out, base)
+        assert set(back) == set(lora)
+        for k in lora:
+            np.testing.assert_allclose(np.asarray(back[k]["down"]),
+                                       np.asarray(lora[k]["down"]),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(back[k]["up"]),
+                                       np.asarray(lora[k]["up"]), rtol=1e-6)
+
+
 class TestValidation:
     def test_latents_to_images(self):
         imgs = latents_to_images(jnp.zeros((2, 3, 8, 8)))

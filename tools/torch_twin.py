@@ -504,6 +504,70 @@ class TorchTwinVAE(nn.Module):
 
 
 # --------------------------------------------------------------------------
+# DDPM loss-path twin (reference ``ddpm_trainer.py:280-401`` numerics in torch)
+# --------------------------------------------------------------------------
+
+class TorchLossTwin:
+    """The reference DDPM training-step numerics, in torch, for loss-curve
+    parity: Karras sigmas indexed by integer timestep (descending ramp, so
+    t=0 is sigma_max — reference ``timestep_to_sigma``,
+    ``novelai_v3.py:134-137``), ``add_noise = x + sigma*eps`` with the ZTSNR
+    +-20000 clamp (``:111-120``), the reference's nonstandard velocity target
+    ``(eps - x)/sigma`` (``:122-127``), and MinSNR weighting
+    ``mse * min(snr, gamma)`` (``ddpm_trainer.py:335-345``)."""
+
+    ZTSNR_MAX = 20000.0
+
+    def __init__(self, num_timesteps=1000, sigma_min=0.002, sigma_max=20000.0,
+                 rho=7.0, sigma_data=1.0, use_ztsnr=True,
+                 prediction_type="v_prediction", min_snr_gamma=5.0):
+        ramp = torch.linspace(0.0, 1.0, num_timesteps)
+        min_inv = sigma_min ** (1.0 / rho)
+        max_inv = sigma_max ** (1.0 / rho)
+        self.sigmas = (max_inv + ramp * (min_inv - max_inv)) ** rho
+        self.sigma_data = sigma_data
+        self.use_ztsnr = use_ztsnr
+        self.prediction_type = prediction_type
+        self.min_snr_gamma = min_snr_gamma
+
+    def _sigma(self, t):
+        return self.sigmas[t].view(-1, 1, 1, 1)
+
+    def add_noise(self, x, noise, t):
+        noisy = x + self._sigma(t) * noise
+        if self.use_ztsnr:
+            noisy = noisy.clamp(-self.ZTSNR_MAX, self.ZTSNR_MAX)
+        return noisy
+
+    def get_velocity(self, x, noise, t):
+        return (noise - x) / self._sigma(t)
+
+    def min_snr_weight(self, t):
+        snr = (self.sigma_data / self.sigmas[t]) ** 2
+        if self.min_snr_gamma is None:
+            return torch.ones_like(snr)
+        return snr.clamp(max=self.min_snr_gamma)
+
+    def loss(self, unet, batch, noise, timesteps):
+        x = batch["vae_latents"].float()
+        noisy = self.add_noise(x, noise, timesteps)
+        pred = unet(noisy, timesteps.float(), batch["prompt_embeds"],
+                    batch["pooled_prompt_embeds"], batch["time_ids"]).float()
+        if self.prediction_type == "v_prediction":
+            target = self.get_velocity(x, noise, timesteps)
+        else:
+            target = noise
+        mse = (pred - target) ** 2
+        w = self.min_snr_weight(timesteps).view(-1, 1, 1, 1)
+        loss = (mse * w).mean()
+        # reference finite guard (ddpm_trainer.py:379-384): non-finite ->
+        # 1000.0, else clamp(max=1000) — clamping also zeroes the gradient
+        if not torch.isfinite(loss):
+            return torch.tensor(1000.0, dtype=loss.dtype)
+        return loss.clamp(max=1000.0)
+
+
+# --------------------------------------------------------------------------
 # manifest helpers
 # --------------------------------------------------------------------------
 

@@ -15,6 +15,7 @@ Batch contract matches the reference trainers (``ddpm_trainer.py:284-296``):
 """
 from __future__ import annotations
 
+import collections
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -128,7 +129,8 @@ class AspectBucketDataset:
     def precompute(self, encode_images: Callable, encode_prompts: Callable,
                    batch_size: int = 8, center_crop: bool = True,
                    random_flip: bool = False, seed: int = 0,
-                   progress: Optional[Callable[[int, int], None]] = None) -> int:
+                   progress: Optional[Callable[[int, int], None]] = None,
+                   num_workers: Optional[int] = None) -> int:
         """Encode all uncached images through the supplied device functions.
 
         ``encode_images(pixels_f32_nchw) -> latents``;
@@ -137,9 +139,21 @@ class AspectBucketDataset:
         (Reference ``_precompute_latents`` ``dataset.py:403-492`` — including
         its caption-misalignment defect fix: captions are looked up by index,
         never zipped against a filtered list.)
+
+        Three-stage host pipeline (the reference decodes serially,
+        ``dataset.py:422-446``): a thread pool decodes/resizes images
+        (PIL releases the GIL), the main thread runs the jitted encoders
+        batch-after-batch (device stays fed), and a writer pool streams npz
+        cache writes (``save_latents`` is lock-protected).  Measured rate is
+        recorded on ``self.last_precompute_stats`` (the BASELINE
+        "latent-cache imgs/sec" metric; reference logged rate/ETA at
+        ``cache_manager.py:265-279``).
         """
         if self.cache is None:
             raise ValueError("precompute requires a CacheManager")
+        import os as _os
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
         from PIL import Image
 
         todo_by_bucket: Dict[Tuple[int, int], List[int]] = {}
@@ -152,47 +166,104 @@ class AspectBucketDataset:
         total = sum(len(v) for v in todo_by_bucket.values())
         done = 0
         flip_rng = np.random.default_rng(seed)
-        for (lh, lw), idxs in todo_by_bucket.items():
-            for start in range(0, len(idxs), batch_size):
-                chunk = idxs[start:start + batch_size]
-                arrs, metas, caps, ok_idx = [], [], [], []
-                for i in chunk:
-                    b = self._bucket_of[i]
-                    flip = bool(random_flip and flip_rng.random() < 0.5)
-                    try:
-                        with Image.open(self.image_paths[i]) as im:
-                            arr, orig, crop = prepare_image_array(
-                                im, b, center_crop=center_crop, flip=flip)
-                    except Exception:
-                        continue
-                    tids = compute_time_ids(orig, crop, (b.height, b.width))
-                    arrs.append(arr)
-                    ok_idx.append(i)
-                    metas.append({"original_size": list(orig),
-                                  "crop_top_left": list(crop),
-                                  "target_size": [b.height, b.width],
-                                  "caption": self.captions[i],
-                                  "time_ids": tids})
-                    caps.append(self.captions[i])
-                if not arrs:
+        # flip decisions up front, in deterministic index order
+        flips = {}
+        for idxs in todo_by_bucket.values():
+            for i in idxs:
+                flips[i] = bool(random_flip and flip_rng.random() < 0.5)
+
+        def decode_one(i: int):
+            b = self._bucket_of[i]
+            try:
+                with Image.open(self.image_paths[i]) as im:
+                    arr, orig, crop = prepare_image_array(
+                        im, b, center_crop=center_crop, flip=flips[i])
+            except Exception:
+                return None
+            tids = compute_time_ids(orig, crop, (b.height, b.width))
+            meta = {"original_size": list(orig),
+                    "crop_top_left": list(crop),
+                    "target_size": [b.height, b.width],
+                    "caption": self.captions[i]}
+            return i, arr, tids, meta
+
+        chunks = [idxs[s:s + batch_size]
+                  for idxs in todo_by_bucket.values()
+                  for s in range(0, len(idxs), batch_size)]
+        workers = num_workers or min(16, (_os.cpu_count() or 4))
+        t0 = _time.perf_counter()
+        write_futures = []
+        with ThreadPoolExecutor(workers) as decode_pool, \
+                ThreadPoolExecutor(4) as write_pool:
+            # decode runs ahead of the device by up to 2 chunks
+            pending = collections.deque()
+            ahead = 2
+            for c, chunk in enumerate(chunks):
+                pending.append([decode_pool.submit(decode_one, i)
+                                for i in chunk])
+                if len(pending) <= ahead and c < len(chunks) - 1:
                     continue
-                pixels = np.stack(arrs)
-                latents = np.asarray(encode_images(pixels))
-                enc = encode_prompts(caps)
-                pe = np.asarray(enc["prompt_embeds"])
-                pooled = np.asarray(enc["pooled_prompt_embeds"])
-                for j, i in enumerate(ok_idx):
-                    meta = metas[j]
-                    self.cache.save_latents(
-                        self.cache.get_cache_key(self.image_paths[i]),
-                        vae_latents=latents[j],
-                        time_ids=meta.pop("time_ids"),
-                        prompt_embeds=pe[j],
-                        pooled_prompt_embeds=pooled[j],
-                        metadata=meta)
-                    done += 1
+                futs = pending.popleft()
+                done += self._encode_and_write(
+                    futs, encode_images, encode_prompts, write_pool,
+                    write_futures)
                 if progress:
                     progress(done, total)
+            while pending:
+                done += self._encode_and_write(
+                    pending.popleft(), encode_images, encode_prompts,
+                    write_pool, write_futures)
+                if progress:
+                    progress(done, total)
+            for f in write_futures:
+                f.result()  # surface writer errors
+        elapsed = max(_time.perf_counter() - t0, 1e-9)
+        self.last_precompute_stats = {
+            "images": done, "seconds": elapsed,
+            "images_per_sec": done / elapsed if done else 0.0,
+        }
+        if done:
+            import logging
+            logging.getLogger(__name__).info(
+                "precompute: %d images in %.1fs (%.2f imgs/sec, %d decode "
+                "workers)", done, elapsed, done / elapsed, workers)
+        return self._finish_precompute(encode_prompts, total, done)
+
+    def _encode_and_write(self, futures, encode_images, encode_prompts,
+                          write_pool, write_futures) -> int:
+        """Drain one chunk's decode futures, encode on device, queue cache
+        writes.  Returns the number of images handled."""
+        arrs, tids_list, metas, caps, ok_idx = [], [], [], [], []
+        for f in futures:
+            out = f.result()
+            if out is None:
+                continue
+            i, arr, tids, meta = out
+            arrs.append(arr)
+            tids_list.append(tids)
+            metas.append(meta)
+            caps.append(meta["caption"])
+            ok_idx.append(i)
+        if not arrs:
+            return 0
+        pixels = np.stack(arrs)
+        latents = np.asarray(encode_images(pixels))
+        enc = encode_prompts(caps)
+        pe = np.asarray(enc["prompt_embeds"])
+        pooled = np.asarray(enc["pooled_prompt_embeds"])
+
+        def write(j, i):
+            self.cache.save_latents(
+                self.cache.get_cache_key(self.image_paths[i]),
+                vae_latents=latents[j], time_ids=tids_list[j],
+                prompt_embeds=pe[j], pooled_prompt_embeds=pooled[j],
+                metadata=metas[j])
+
+        for j, i in enumerate(ok_idx):
+            write_futures.append(write_pool.submit(write, j, i))
+        return len(ok_idx)
+
+    def _finish_precompute(self, encode_prompts, total: int, done: int) -> int:
         # cache the empty-prompt embedding once for CFG caption dropout
         # (reference encode_prompt's proportion_empty_prompts, clip.py:52-54)
         if total or self.cache.load_empty_prompt() is None:

@@ -77,10 +77,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _fsdp_spec_for(path_leaf_shape, fsdp_size: int) -> P:
-    """Shard the largest divisible dim of a param over the fsdp axis."""
+# Params smaller than this stay replicated: sharding biases/norm scales
+# saves ~nothing but forces the SPMD partitioner into "involuntary full
+# rematerialization" when their grads (reduced from batch-sharded
+# activations) must be rescattered — pure ICI/HBM waste (round-1 verdict,
+# MULTICHIP_r01 tail).  2^16 elements ~= the largest SDXL bias (10240) x6.
+FSDP_MIN_SIZE = 1 << 16
+
+
+def _fsdp_spec_for(path_leaf_shape, fsdp_size: int,
+                   min_size: int = FSDP_MIN_SIZE) -> P:
+    """Shard the largest divisible dim of a *large, >=2-D* param over the
+    fsdp axis; everything else replicates (standard ZeRO practice: shard
+    the matmul/conv weights, replicate the 1-D vectors)."""
     shape = path_leaf_shape
-    if not shape:
+    if len(shape) < 2 or int(np.prod(shape)) < min_size:
         return P()
     # choose the largest axis divisible by the fsdp size
     candidates = [(d, i) for i, d in enumerate(shape) if d % fsdp_size == 0 and d >= fsdp_size]

@@ -34,7 +34,7 @@ from sdxl_training_improvements_tpu.core.types import Policy
 from sdxl_training_improvements_tpu.data.dataset import (
     AspectBucketDataset, create_dataset)
 from sdxl_training_improvements_tpu.data.pipeline import (
-    batches_for_epoch, prefetch_to_device)
+    batches_for_epoch, check_shard_integrity, prefetch_to_device)
 from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
 from sdxl_training_improvements_tpu.models.tokenizer import (
     TokenizerPair, load_tokenizers)
@@ -64,6 +64,18 @@ class SDXLTrainer:
 
         M.initialize_multihost()
         self.mesh = M.mesh_from_config(config) if use_mesh else None
+        if self.mesh is not None:
+            dp = (self.mesh.shape[M.DATA_AXIS]
+                  * self.mesh.shape[M.FSDP_AXIS])
+            if config.training.batch_size % dp:
+                raise ValueError(
+                    f"training.batch_size ({config.training.batch_size}) "
+                    f"must be divisible by the data-parallel mesh extent "
+                    f"({dp} = data {self.mesh.shape[M.DATA_AXIS]} x fsdp "
+                    f"{self.mesh.shape[M.FSDP_AXIS]}): each micro-batch is "
+                    "sharded over those axes. Raise batch_size, shrink "
+                    "tpu.mesh_shape, or set use_mesh=False for "
+                    "single-device debugging.")
 
         # ----- model
         if model is None:
@@ -197,9 +209,11 @@ class SDXLTrainer:
         ds = self.dataset or self.prepare_data()
         global_batch = cfg.batch_size * max(1, cfg.gradient_accumulation_steps)
         max_steps = cfg.max_steps
-        per_epoch = len(ds.make_sampler(global_batch,
-                                        num_shards=jax.process_count(),
-                                        shard=jax.process_index()))
+        # multi-host gate: equal batch counts + complete cache on every
+        # host, or raise on all of them (never hang in a collective)
+        per_epoch = check_shard_integrity(
+            ds, global_batch, num_shards=jax.process_count(),
+            shard=jax.process_index(), seed=cfg.seed)
         if per_epoch == 0:
             raise ValueError(
                 f"No trainable batches: {len(ds)} images across "

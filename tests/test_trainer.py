@@ -200,6 +200,42 @@ class TestDataParallel:
         shardings = [l.sharding.spec for l in jax.tree.leaves(state.params)]
         assert any("fsdp" in str(s) for s in shardings)
 
+    def test_fsdp_spec_replicates_small_params(self):
+        """1-D and small params must replicate: fsdp-sharding biases/norm
+        scales forces SPMD involuntary full rematerialization of their
+        grad reduces (round-1 verdict, MULTICHIP_r01 tail)."""
+        from jax.sharding import PartitionSpec as P
+        assert M._fsdp_spec_for((128,), 2) == P()          # bias
+        assert M._fsdp_spec_for((10240,), 2) == P()        # largest SDXL bias
+        assert M._fsdp_spec_for((320, 64), 2) == P()       # small 2-D
+        big = M._fsdp_spec_for((1280, 10240), 2)           # ff kernel
+        assert "fsdp" in str(big)
+        conv = M._fsdp_spec_for((3, 3, 320, 640), 2)
+        assert conv == P(None, None, None, "fsdp")
+
+    def test_fsdp_compile_emits_no_spmd_remat_warnings(self, tiny_model,
+                                                       capfd):
+        """Fresh-compiling the fsdp-sharded step must not trigger the SPMD
+        partitioner's 'Involuntary full rematerialization' path.  (On a
+        compilation-cache hit XLA emits nothing, which also passes — the
+        assertion bites whenever this HLO is actually rebuilt.)"""
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw"
+        cfg.tpu.mesh_shape = [2, 4, 1]
+        mesh = M.mesh_from_config(cfg)
+        step = make_train_step(
+            tiny_model.unet_apply, NoiseSchedule.from_config(cfg),
+            make_optimizer(cfg), cfg, mesh=mesh, donate=False)
+        opt = make_optimizer(cfg)
+        state = create_train_state(tiny_model.trainable_params(), opt)
+        state = shard_train_state(state, mesh, shard_params=True)
+        batch = shard_batch(make_batch(jax.random.key(1), 8), mesh)
+        capfd.readouterr()  # drain
+        state2, metrics = step(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err
+
 
 class TestNaNRobustness:
     def test_overflow_loss_never_poisons_params(self, tiny_model):

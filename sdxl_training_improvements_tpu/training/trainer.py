@@ -124,24 +124,31 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
 # ------------------------------------------------------------------ sharding
 def shard_train_state(state: TrainState, mesh, shard_params: bool = False
                       ) -> TrainState:
-    """Place the state on the mesh: params/opt-state replicated (DP) or
-    ZeRO-sharded over the fsdp axis; step/rng replicated.  jit then compiles
-    the matching collectives (computation follows data)."""
-    if not shard_params:
+    """Place the state on the mesh: params/opt-state replicated (DP),
+    ZeRO-sharded over the fsdp axis, and/or megatron-split over the tensor
+    axis (``M.TP_RULES`` match the param path inside the opt-state subtrees
+    too, so optimizer moments shard exactly like their params and the
+    update stays local).  step/rng replicated.  jit then compiles the
+    matching collectives (computation follows data)."""
+    if not shard_params and mesh.shape[M.TENSOR_AXIS] == 1:
         return jax.device_put(state, M.replicated(mesh))
-    fsdp = mesh.shape[M.FSDP_AXIS]
+    from jax.sharding import NamedSharding
 
-    def placer(x):
-        if not hasattr(x, "shape") or x.ndim == 0:
-            return jax.device_put(x, M.replicated(mesh))
-        from jax.sharding import NamedSharding
-        return jax.device_put(
-            x, NamedSharding(mesh, M._fsdp_spec_for(x.shape, fsdp)))
-
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    placed = []
+    for path, leaf in flat:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            placed.append(jax.device_put(leaf, M.replicated(mesh)))
+            continue
+        spec = M.spec_for_param(p, leaf.shape, mesh,
+                                shard_params=shard_params)
+        placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    placed_state = jax.tree_util.tree_unflatten(treedef, placed)
     # rng keys must stay replicated (typed PRNG keys can't shard usefully)
-    placed = jax.tree.map(placer, state, is_leaf=lambda x: False)
-    return placed._replace(rng=jax.device_put(state.rng, M.replicated(mesh)),
-                           step=jax.device_put(state.step, M.replicated(mesh)))
+    return placed_state._replace(
+        rng=jax.device_put(state.rng, M.replicated(mesh)),
+        step=jax.device_put(state.step, M.replicated(mesh)))
 
 
 def shard_batch(batch, mesh):

@@ -200,6 +200,52 @@ class TestDataParallel:
         shardings = [l.sharding.spec for l in jax.tree.leaves(state.params)]
         assert any("fsdp" in str(s) for s in shardings)
 
+    def test_tensor_parallel_matches_dp(self, tiny_model):
+        """Megatron column/row sharding over the tensor axis (mesh 2,2,2)
+        must compute the same loss as the unsharded step — TP is a layout,
+        not a different function (round-2 item 8)."""
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw"
+        cfg.tpu.mesh_shape = [2, 2, 2]
+        mesh = M.mesh_from_config(cfg)
+        step_tp = make_train_step(
+            tiny_model.unet_apply, NoiseSchedule.from_config(cfg),
+            make_optimizer(cfg), cfg, mesh=mesh, donate=False)
+        step_plain = make_train_step(
+            tiny_model.unet_apply, NoiseSchedule.from_config(cfg),
+            make_optimizer(cfg), cfg, mesh=None, donate=False)
+        opt = make_optimizer(cfg)
+        state = create_train_state(tiny_model.trainable_params(), opt)
+        batch = make_batch(jax.random.key(1), 8)
+
+        s_state = shard_train_state(state, mesh, shard_params=True)
+        # qkv/ff kernels actually carry the tensor axis
+        specs = {
+            "/".join(str(getattr(k, "key", k)) for k in path):
+                leaf.sharding.spec
+            for path, leaf in
+            jax.tree_util.tree_flatten_with_path(s_state.params)[0]}
+        tp_kernels = [s for p, s in specs.items()
+                      if "to_q/kernel" in p or "ff/net_2/kernel" in p]
+        assert tp_kernels and all("tensor" in str(s) for s in tp_kernels)
+        # opt-state moments mirror their params' sharding
+        m_specs = {
+            "/".join(str(getattr(k, "key", k)) for k in path):
+                leaf.sharding.spec
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                s_state.opt_state)[0]}
+        assert any("tensor" in str(s) for p, s in m_specs.items()
+                   if "to_q/kernel" in p)
+
+        out_tp, m_tp = step_tp(s_state, shard_batch(batch, mesh))
+        out_p, m_p = step_plain(state, batch)
+        np.testing.assert_allclose(float(m_tp["loss"]), float(m_p["loss"]),
+                                   rtol=2e-4)
+        pa = jax.tree.leaves(out_tp.params)[0]
+        pb = jax.tree.leaves(out_p.params)[0]
+        np.testing.assert_allclose(np.asarray(pa, np.float32),
+                                   np.asarray(pb, np.float32), atol=2e-4)
+
     def test_fsdp_spec_replicates_small_params(self):
         """1-D and small params must replicate: fsdp-sharding biases/norm
         scales forces SPMD involuntary full rematerialization of their

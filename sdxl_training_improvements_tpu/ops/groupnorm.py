@@ -80,6 +80,82 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float):
     )(x, scale, bias)
 
 
+def _gn_stats_kernel(x_ref, sums_ref, *, num_groups):
+    """Partial per-group sums over one spatial chunk: out [1,1,2,G]."""
+    x = x_ref[0].astype(jnp.float32)  # [Sc, C]
+    sc, c = x.shape
+    xg = x.reshape(sc, num_groups, c // num_groups)
+    sums_ref[0, 0, 0] = jnp.sum(xg, axis=(0, 2))
+    sums_ref[0, 0, 1] = jnp.sum(jnp.square(xg), axis=(0, 2))
+
+
+def _gn_apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, o_ref,
+                     *, num_groups):
+    """Normalize+affine+SiLU one spatial chunk given the image stats."""
+    x = x_ref[0].astype(jnp.float32)  # [Sc, C]
+    sc, c = x.shape
+    cg = c // num_groups
+    mean = mean_ref[0]  # [G]
+    rstd = rstd_ref[0]
+    xg = (x.reshape(sc, num_groups, cg) - mean[None, :, None]) \
+        * rstd[None, :, None]
+    y = xg.reshape(sc, c) * scale_ref[:].astype(jnp.float32) \
+        + bias_ref[:].astype(jnp.float32)
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+def _gn_silu_pallas_chunked(x, scale, bias, num_groups: int, eps: float,
+                            n_chunks: int):
+    """Two-pass fused GN+SiLU for images whose [S, C] tile exceeds VMEM
+    (the 1536^2 bucket's stage-1 is ~23 MB): pass 1 reduces per-group
+    partial sums chunk-by-chunk, a tiny jnp combine forms mean/rstd, pass 2
+    streams the chunks again to normalize+affine+SiLU.  ~2x HBM reads of x
+    — still one fused epilogue instead of XLA's 3-op chain."""
+    b, s, c = x.shape
+    sc = s // n_chunks
+    g = num_groups
+    sums = pl.pallas_call(
+        functools.partial(_gn_stats_kernel, num_groups=g),
+        grid=(b, n_chunks),
+        in_specs=[pl.BlockSpec((1, sc, c), lambda i, j: (i, j, 0))],
+        out_specs=pl.BlockSpec((1, 1, 2, g), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, 2, g), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x)
+    total = jnp.sum(sums, axis=1)  # [B, 2, G]
+    n = jnp.float32(s * (c // g))
+    mean = total[:, 0] / n
+    var = total[:, 1] / n - jnp.square(mean)
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return pl.pallas_call(
+        functools.partial(_gn_apply_kernel, num_groups=g),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, sc, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, g), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, g), lambda i, j: (i, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, sc, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, mean, rstd, scale, bias)
+
+
+def _pick_chunks(s: int, c: int, itemsize: int) -> int:
+    """Smallest divisor n of s with the chunk tile under the VMEM budget;
+    0 if s has no suitable divisor (-> XLA path)."""
+    for n in range(1, min(s, 64) + 1):  # >64 chunks: too fine, XLA instead
+        if s % n:
+            continue
+        if (s // n) * c * itemsize <= _MAX_TILE_BYTES:
+            return n
+    return 0
+
+
 @functools.lru_cache(maxsize=1)
 def _fused_enabled() -> bool:
     return os.environ.get("SDXL_TPU_FUSED_GN", "0") == "1" and \
@@ -107,16 +183,44 @@ def _fused_bwd(num_groups, eps, res, g):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_core_chunked(x3, scale, bias, num_groups, eps, n_chunks):
+    return _gn_silu_pallas_chunked(x3, scale, bias, num_groups, eps,
+                                   n_chunks)
+
+
+def _fused_chunked_fwd(x3, scale, bias, num_groups, eps, n_chunks):
+    return (_gn_silu_pallas_chunked(x3, scale, bias, num_groups, eps,
+                                    n_chunks), (x3, scale, bias))
+
+
+def _fused_chunked_bwd(num_groups, eps, n_chunks, res, g):
+    return _fused_bwd(num_groups, eps, res, g)
+
+
+_fused_core_chunked.defvjp(_fused_chunked_fwd, _fused_chunked_bwd)
+
+
 def groupnorm_silu(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
-    """Dispatcher over NHWC (or [B, S, C]) inputs."""
+    """Dispatcher over NHWC (or [B, S, C]) inputs: single-block kernel when
+    one image fits VMEM, the two-pass chunked kernel for the large buckets
+    (1536^2 stage-1 ~23 MB), XLA reference otherwise."""
     if _fused_enabled():
         shape = x.shape
         s = 1
         for d in shape[1:-1]:
             s *= d
         tile_bytes = s * shape[-1] * x.dtype.itemsize
+        x3 = None
         if tile_bytes <= _MAX_TILE_BYTES:
             x3 = x.reshape(shape[0], s, shape[-1])
             out = _fused_core(x3, scale, bias, num_groups, eps)
+        else:
+            n = _pick_chunks(s, shape[-1], x.dtype.itemsize)
+            if n:
+                x3 = x.reshape(shape[0], s, shape[-1])
+                out = _fused_core_chunked(x3, scale, bias, num_groups, eps,
+                                          n)
+        if x3 is not None:
             return out.reshape(shape)
     return groupnorm_silu_reference(x, scale, bias, num_groups, eps)

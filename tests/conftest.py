@@ -10,18 +10,27 @@ every tiny test compile would round-trip through the device tunnel.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Opt-in real-hardware mode: SDXL_TPU_SMOKE=1 skips the CPU override so
+# `SDXL_TPU_SMOKE=1 pytest tests/test_tpu_smoke.py` exercises the TPU-only
+# branches (donation, device_memory_stats, profiler, Pallas dispatch).
+# Run ONLY that file in this mode — the full suite on a tunneled TPU is a
+# 100x slowdown.
+TPU_SMOKE = os.environ.get("SDXL_TPU_SMOKE") == "1"
+
+if not TPU_SMOKE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass  # older jax: XLA_FLAGS above covers it
+if not TPU_SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # older jax: XLA_FLAGS above covers it
 
 # Persistent compilation cache: the tiny-model train steps cost 30-150s of
 # XLA CPU compile each; caching them makes repeat suite runs minutes faster.
@@ -34,6 +43,8 @@ import pytest  # noqa: E402
 
 
 def pytest_configure(config):
+    if TPU_SMOKE:
+        return
     # Fail fast if the override did not take: running the unit suite over a
     # remote-TPU tunnel is a silent 100x slowdown.
     assert jax.default_backend() == "cpu", (

@@ -70,3 +70,32 @@ def test_gradients_match_reference_path():
     for a, b_ in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_chunked_kernel_matches_reference():
+    """Two-pass chunked path (for images whose tile exceeds VMEM, e.g. the
+    1536^2 stage-1 bucket) must match the reference numerics."""
+    from sdxl_training_improvements_tpu.ops.groupnorm import (
+        _gn_silu_pallas_chunked)
+    x = jax.random.normal(jax.random.key(7), (2, 256, 32), jnp.float32)
+    scale = jax.random.normal(jax.random.key(8), (32,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.key(9), (32,)) * 0.1
+    ref = groupnorm_silu_reference(x, scale, bias, num_groups=8)
+    with pltpu.force_tpu_interpret_mode():
+        out = _gn_silu_pallas_chunked(x, scale, bias, num_groups=8,
+                                      eps=1e-5, n_chunks=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pick_chunks():
+    from sdxl_training_improvements_tpu.ops.groupnorm import (
+        _MAX_TILE_BYTES, _pick_chunks)
+    # 1536^2 stage-1: S=192*192=36864, C=320, bf16 -> ~23.6MB needs 2 chunks
+    n = _pick_chunks(36864, 320, 2)
+    assert n == 2
+    assert (36864 // n) * 320 * 2 <= _MAX_TILE_BYTES
+    # small image: one chunk
+    assert _pick_chunks(4096, 320, 2) == 1
+    # pathological prime S with no fitting divisor -> 0 (XLA fallback)
+    assert _pick_chunks(36866 // 2 * 2 + 1, 131072, 4) == 0

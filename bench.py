@@ -165,6 +165,7 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2):
 
 
 def main():
+    import os
     on_tpu = jax.default_backend() != "cpu"
     from sdxl_training_improvements_tpu.models.unet import UNetConfig
 
@@ -177,28 +178,61 @@ def main():
         cfg_remat = UNetConfig.tiny(remat=True)
         batch, hw, steps, warmup, chunks = 1, 16, 3, 1, 2
 
-    t_fb = bench_fwd_bwd(cfg, batch, hw, steps, warmup)
-    t_fb_remat = bench_fwd_bwd(cfg_remat, batch, hw, steps, warmup)
-    t_opt, n_params = bench_optimizer_full_scale(cfg, hw, n_chunks=chunks)
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    t_full = t_fb + t_opt
-    samples_per_s = batch / t_full
+    log("phase 1/3: fwd+bwd (remat off) compile+measure ...")
+    t_fb = bench_fwd_bwd(cfg, batch, hw, steps, warmup)
+    log(f"fwd+bwd: {t_fb*1e3:.1f} ms/step")
+
+    result = {
+        "fwd_bwd_samples_per_s": round(batch / t_fb, 4),
+        "baseline_source": BASELINE_SOURCE,
+    }
     metric = ("sdxl_1024sq_full_train_step_samples_per_s_per_chip"
               if on_tpu else "tiny_unet_cpu_smoke_full_step_samples_per_s")
+
+    try:
+        log("phase 2/3: full-scale bf16-SR optimizer update (chunked) ...")
+        t_opt, n_params = bench_optimizer_full_scale(cfg, hw,
+                                                     n_chunks=chunks)
+        log(f"optimizer: {t_opt*1e3:.1f} ms/step over {n_params} params")
+        result.update({
+            "optimizer_ms": round(t_opt * 1e3, 2),
+            "optimizer_params": n_params,
+            "composition": "fwd_bwd(+grad-norm) + bf16-SR-AdamW update "
+                           f"measured at full scale in {chunks} resident "
+                           "chunks (elementwise, times sum exactly); full "
+                           "state exceeds this 16GB dev chip, target is v5p",
+        })
+        t_full = t_fb + t_opt
+    except Exception as e:  # partial result beats no result
+        log(f"optimizer phase failed: {e!r}; reporting fwd+bwd only")
+        result["composition"] = f"fwd_bwd only (optimizer bench failed: {e})"
+        metric = ("sdxl_unet_1024sq_train_fwd_bwd_samples_per_s_per_chip"
+                  if on_tpu else "tiny_unet_cpu_smoke_samples_per_s")
+        t_full = t_fb
+
+    # remat-on datapoint is optional (the remat backward compiles very
+    # slowly through the dev tunnel's remote-compile relay)
+    if os.environ.get("SDXL_BENCH_REMAT", "0" if on_tpu else "1") == "1":
+        log("phase 3/3: fwd+bwd (remat on) ...")
+        try:
+            t_fb_remat = bench_fwd_bwd(cfg_remat, batch, hw, steps, warmup)
+            result["fwd_bwd_remat_samples_per_s"] = round(
+                batch / t_fb_remat, 4)
+        except Exception as e:
+            log(f"remat phase failed: {e!r}")
+    else:
+        log("phase 3/3: skipped (set SDXL_BENCH_REMAT=1 to include)")
+
+    samples_per_s = batch / t_full
     print(json.dumps({
         "metric": metric,
         "value": round(samples_per_s, 4),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_s / A100_BASELINE_SAMPLES_PER_S, 4),
-        "fwd_bwd_samples_per_s": round(batch / t_fb, 4),
-        "fwd_bwd_remat_samples_per_s": round(batch / t_fb_remat, 4),
-        "optimizer_ms": round(t_opt * 1e3, 2),
-        "optimizer_params": n_params,
-        "composition": "fwd_bwd(+grad-norm) + bf16-SR-AdamW update measured "
-                       f"at full scale in {chunks} resident chunks "
-                       "(elementwise, times sum exactly); full state exceeds "
-                       "this 16GB dev chip, target is v5p",
-        "baseline_source": BASELINE_SOURCE,
+        **result,
     }))
 
 

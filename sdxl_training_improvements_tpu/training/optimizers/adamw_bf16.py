@@ -99,7 +99,11 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                 delta = (-cur_lr * denom_correction) * m / denom \
                     - weight_decay * cur_lr * p
                 return delta, m, v, shift, acc_decay
-            noise = jax.random.bits(key, (4,) + p.shape, jnp.uint32)
+            # each stochastic rounding consumes 16 bits; draw two uint32
+            # planes and use both halves — halves the PRNG work, which is
+            # a measurable slice of this HBM-bound elementwise update
+            raw = jax.random.bits(key, (2,) + p.shape, jnp.uint32)
+            noise = (raw[0], raw[0] >> 16, raw[1], raw[1] >> 16)
             g32 = g.astype(jnp.float32)
             m = add_stochastic_bits(m * beta1, g, noise[0], alpha=1.0 - beta1)
             v = (v.astype(jnp.float32) * beta2

@@ -20,6 +20,17 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 pytest.importorskip("torch")
 
 
+def test_flow_matching_loss_curve_matches_torch_twin():
+    from tools.parity_check import run_jax, run_torch
+    steps = 40
+    j = np.asarray(run_jax(steps, seed=7, batch=2, size=16,
+                           method="flow_matching"))
+    t = np.asarray(run_torch(steps, seed=7, batch=2, size=16,
+                             method="flow_matching"))
+    rel = np.abs(j - t) / np.maximum(np.abs(t), 1e-8)
+    assert rel.max() <= 1e-4, f"max rel {rel.max():.2e}"
+
+
 def test_ddpm_loss_curve_matches_torch_reference_twin():
     from tools.parity_check import run_jax, run_torch
     steps = 80

@@ -36,8 +36,17 @@ CLIP = 1.0
 
 
 def gen_step_data(rng: np.random.Generator, batch: int, size: int,
-                  ctx_dim: int, pooled_dim: int, num_timesteps: int) -> dict:
-    """One step's batch + injected noise/timesteps, all numpy fp32."""
+                  ctx_dim: int, pooled_dim: int, num_timesteps: int,
+                  method: str = "ddpm") -> dict:
+    """One step's batch + injected noise/timesteps, all numpy fp32.
+
+    For flow matching the injected ``timesteps`` are the logit-normal
+    t in [0,1] (the method's deterministic-replay override)."""
+    if method == "flow_matching":
+        t = (1.0 / (1.0 + np.exp(-rng.standard_normal(batch)))
+             ).astype(np.float32)
+    else:
+        t = rng.integers(0, num_timesteps, (batch,)).astype(np.int32)
     return {
         "vae_latents": rng.standard_normal(
             (batch, 4, size, size), dtype=np.float32),
@@ -50,7 +59,7 @@ def gen_step_data(rng: np.random.Generator, batch: int, size: int,
             np.float32), (batch, 1)),
         "noise": rng.standard_normal((batch, 4, size, size),
                                      dtype=np.float32),
-        "timesteps": rng.integers(0, num_timesteps, (batch,)).astype(np.int32),
+        "timesteps": t,
     }
 
 
@@ -63,7 +72,8 @@ def _twin_weights(seed: int):
     return cfg, TorchTwinUNet(cfg)
 
 
-def run_torch(steps: int, seed: int, batch: int, size: int) -> list:
+def run_torch(steps: int, seed: int, batch: int, size: int,
+              method: str = "ddpm") -> list:
     """Reference loss path (torch twin) + plain AdamW + global-norm clip."""
     import torch
     from tools.torch_twin import TorchLossTwin
@@ -76,10 +86,14 @@ def run_torch(steps: int, seed: int, batch: int, size: int) -> list:
     losses = []
     for _ in range(steps):
         d = gen_step_data(rng, batch, size, cfg.cross_attention_dim,
-                          cfg.pooled_embed_dim, 1000)
+                          cfg.pooled_embed_dim, 1000, method=method)
         tb = {k: torch.from_numpy(v) for k, v in d.items()}
         opt.zero_grad()
-        loss = sched.loss(unet, tb, tb["noise"], tb["timesteps"].long())
+        if method == "flow_matching":
+            loss = sched.flow_matching_loss(unet, tb, tb["noise"],
+                                            tb["timesteps"])
+        else:
+            loss = sched.loss(unet, tb, tb["noise"], tb["timesteps"].long())
         loss.backward()
         torch.nn.utils.clip_grad_norm_(unet.parameters(), CLIP)
         opt.step()
@@ -87,7 +101,8 @@ def run_torch(steps: int, seed: int, batch: int, size: int) -> list:
     return losses
 
 
-def run_jax(steps: int, seed: int, batch: int, size: int) -> list:
+def run_jax(steps: int, seed: int, batch: int, size: int,
+            method: str = "ddpm") -> list:
     """This framework's real train step (same twin weights, plain AdamW)."""
     import jax
     import jax.numpy as jnp
@@ -110,6 +125,7 @@ def run_jax(steps: int, seed: int, batch: int, size: int) -> list:
     params = W.hf_to_flax_params(template, state_dict, strict=True)
 
     cfg = Config()
+    cfg.training.method = method
     cfg.training.gradient_accumulation_steps = 1
     cfg.training.clip_grad_norm = CLIP
     opt = optax.adamw(LR, b1=BETAS[0], b2=BETAS[1], eps=EPS,
@@ -123,7 +139,7 @@ def run_jax(steps: int, seed: int, batch: int, size: int) -> list:
     losses = []
     for _ in range(steps):
         d = gen_step_data(rng, batch, size, ucfg.cross_attention_dim,
-                          ucfg.pooled_embed_dim, 1000)
+                          ucfg.pooled_embed_dim, 1000, method=method)
         jb = {k: jnp.asarray(v) for k, v in d.items()}
         state, metrics = step_fn(state, jb)
         losses.append(float(metrics["loss"]))
@@ -198,7 +214,7 @@ def main():
     p.add_argument("--impl", default="jax",
                    choices=["jax", "torch", "jax-self"])
     p.add_argument("--method", default="ddpm",
-                   help="jax-self mode only; cross-framework mode is ddpm")
+                   choices=["ddpm", "flow_matching"])
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--batch", type=int, default=2)
@@ -209,9 +225,11 @@ def main():
     if args.compare:
         sys.exit(compare(*args.compare))
     if args.impl == "torch":
-        losses = run_torch(args.steps, args.seed, args.batch, args.size)
+        losses = run_torch(args.steps, args.seed, args.batch, args.size,
+                           method=args.method)
     elif args.impl == "jax":
-        losses = run_jax(args.steps, args.seed, args.batch, args.size)
+        losses = run_jax(args.steps, args.seed, args.batch, args.size,
+                         method=args.method)
     else:
         losses = run_jax_self(args.method, args.steps, args.seed, args.batch,
                               args.size)

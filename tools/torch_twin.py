@@ -548,6 +548,14 @@ class TorchLossTwin:
             return torch.ones_like(snr)
         return snr.clamp(max=self.min_snr_gamma)
 
+    @staticmethod
+    def _finite_guard(loss):
+        # reference finite guard (ddpm_trainer.py:379-384): non-finite ->
+        # 1000.0, else clamp(max=1000) — clamping also zeroes the gradient
+        if not torch.isfinite(loss):
+            return torch.tensor(1000.0, dtype=loss.dtype)
+        return loss.clamp(max=1000.0)
+
     def loss(self, unet, batch, noise, timesteps):
         x = batch["vae_latents"].float()
         noisy = self.add_noise(x, noise, timesteps)
@@ -559,12 +567,22 @@ class TorchLossTwin:
             target = noise
         mse = (pred - target) ** 2
         w = self.min_snr_weight(timesteps).view(-1, 1, 1, 1)
-        loss = (mse * w).mean()
-        # reference finite guard (ddpm_trainer.py:379-384): non-finite ->
-        # 1000.0, else clamp(max=1000) — clamping also zeroes the gradient
-        if not torch.isfinite(loss):
-            return torch.tensor(1000.0, dtype=loss.dtype)
-        return loss.clamp(max=1000.0)
+        return self._finite_guard((mse * w).mean())
+
+    def flow_matching_loss(self, unet, batch, x0, t):
+        """Reference flow-matching numerics
+        (``flow_matching_trainer.py:267-352,373-419``) minus its
+        double-forward defect: xt=(1-t)x0+t*x1, v_true=x1-x0, per-sample
+        CHW-mean MSE -> batch mean.  ``t`` in [0,1] is passed to the UNet
+        directly as the timestep (reference behaviour)."""
+        x1 = batch["vae_latents"].float()
+        tb = t.view(-1, 1, 1, 1)
+        xt = (1.0 - tb) * x0 + tb * x1
+        v_pred = unet(xt, t, batch["prompt_embeds"],
+                      batch["pooled_prompt_embeds"],
+                      batch["time_ids"]).float()
+        per_sample = ((v_pred - (x1 - x0)) ** 2).mean(dim=(1, 2, 3))
+        return self._finite_guard(per_sample.mean())
 
 
 # --------------------------------------------------------------------------

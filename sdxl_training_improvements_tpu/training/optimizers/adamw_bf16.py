@@ -99,13 +99,34 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                 delta = (-cur_lr * denom_correction) * m / denom \
                     - weight_decay * cur_lr * p
                 return delta, m, v, shift, acc_decay
+            from sdxl_training_improvements_tpu.ops.fused_adamw import (
+                fused_adamw_enabled, fused_adamw_update)
+            if fused_adamw_enabled():
+                # single-pass Pallas kernel: whole m->v->shift->p chain in
+                # one HBM residency with in-register RNG (ops/fused_adamw)
+                acc = acc_decay + weight_decay * cur_lr
+                fire = acc > DECAY_THRESHOLD
+                decay_amt = jnp.where(fire, acc, 0.0)
+                seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+                p_new, m, v, shift = fused_adamw_update(
+                    p, g, m, v, shift,
+                    lr_eff=cur_lr * denom_correction, decay_amt=decay_amt,
+                    seed=seed, beta1=beta1, beta2=beta2, eps=eps)
+                acc = jnp.where(fire, jnp.zeros_like(acc), acc)
+                delta = (p_new.astype(jnp.float32)
+                         - p.astype(jnp.float32)).astype(p.dtype)
+                return delta, m, v, shift, acc
             # each stochastic rounding consumes 16 bits; draw two uint32
             # planes and use both halves — halves the PRNG work, which is
             # a measurable slice of this HBM-bound elementwise update
             raw = jax.random.bits(key, (2,) + p.shape, jnp.uint32)
             noise = (raw[0], raw[0] >> 16, raw[1], raw[1] >> 16)
             g32 = g.astype(jnp.float32)
-            m = add_stochastic_bits(m * beta1, g, noise[0], alpha=1.0 - beta1)
+            # torch computes bf16 `exp_avg.mul_(beta1)` in fp32 opmath then
+            # rounds to nearest; a bare jnp `m * beta1` would instead
+            # downcast beta1 to bf16 (0.9 -> 0.8984375!) — multiply in fp32
+            m_scaled = (m.astype(jnp.float32) * beta1).astype(jnp.bfloat16)
+            m = add_stochastic_bits(m_scaled, g, noise[0], alpha=1.0 - beta1)
             v = (v.astype(jnp.float32) * beta2
                  + (1.0 - beta2) * g32 * g32).astype(jnp.bfloat16)
             denom = jnp.sqrt(v.astype(jnp.float32)) + eps

@@ -17,7 +17,17 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-pytest.importorskip("torch")
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(autouse=True)
+def _full_precision_matmuls():
+    """Guard against the reference import's process-global
+    set_float32_matmul_precision('medium') side effect."""
+    prev = torch.get_float32_matmul_precision()
+    torch.set_float32_matmul_precision("highest")
+    yield
+    torch.set_float32_matmul_precision(prev)
 
 
 def test_flow_matching_loss_curve_matches_torch_twin():

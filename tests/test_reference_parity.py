@@ -38,11 +38,18 @@ def _load_reference_stochastic():
                 stub.__spec__ = __import__("importlib").machinery.ModuleSpec(
                     name, loader=None)
                 sys.modules[name] = stub
+    # the reference sets torch.set_float32_matmul_precision('medium') at
+    # import (core/memory/tensor.py:13) — a process-global downgrade that
+    # would silently degrade every later torch-oracle test; restore it
+    import torch
+    prev_precision = torch.get_float32_matmul_precision()
     try:
         from src.training.optimizers.adamw_bfloat16 import stochastic
         return stochastic
     except Exception as e:
         pytest.skip(f"reference import failed: {e}")
+    finally:
+        torch.set_float32_matmul_precision(prev_precision)
 
 
 @pytest.fixture(scope="module")

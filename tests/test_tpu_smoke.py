@@ -114,17 +114,13 @@ def test_fused_adamw_rng_on_device(tpu):
     n = 4096
     zeros = jnp.zeros((n,), jnp.bfloat16)
     v = jnp.full((n,), 1e-2, jnp.bfloat16)
-    # shift exactly halfway between two bf16 values -> SR must split ~50/50
-    lo = np.float32(np.asarray(jnp.asarray(1.0, jnp.bfloat16), np.float32))
-    mid_f32 = np.float32(1.0 + 2.0 ** -9)
-    shift32 = jnp.full((n,), mid_f32, jnp.float32)
     outs = []
     for seed in range(8):
-        # p=0 so p_new = SR(shift32 rounded into bf16 path); feed shift in
-        # bf16 can't hold mid exactly, so drive via lr*m/denom instead:
-        # simpler: p = bf16(1.0), shift s.t. p+shift is between ulps
+        # bf16 ulp at 1.0 is 2^-7, so p + shift = 1 + 2^-8 is exactly
+        # halfway between bf16(1.0) and the next bf16 (1 + 2^-7) -> SR
+        # must split ~50/50
         p = jnp.full((n,), 1.0, jnp.bfloat16)
-        s = jnp.full((n,), 2.0 ** -9, jnp.bfloat16)  # representable
+        s = jnp.full((n,), 2.0 ** -8, jnp.bfloat16)  # representable
         p_new, _, _, _ = fused_adamw_update(
             p, zeros, zeros, v, s, lr_eff=jnp.float32(0.0),
             decay_amt=jnp.float32(0.0), seed=jnp.int32(seed))

@@ -32,6 +32,17 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 torch = pytest.importorskip("torch")
 
+
+@pytest.fixture(autouse=True)
+def _full_precision_matmuls():
+    """Other tests import the reference, whose module side effects downgrade
+    torch to 'medium' (bf16) matmul precision process-wide; these oracle
+    comparisons need full fp32."""
+    prev = torch.get_float32_matmul_precision()
+    torch.set_float32_matmul_precision("highest")
+    yield
+    torch.set_float32_matmul_precision(prev)
+
 from sdxl_training_improvements_tpu.models import weights as W
 from sdxl_training_improvements_tpu.models.clip import (
     CLIPTextConfig, CLIPTextModel, encode_dual)

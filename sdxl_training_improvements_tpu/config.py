@@ -142,6 +142,9 @@ class TrainingConfig:
     seed: int = 42
     proportion_empty_prompts: float = 0.0  # CFG caption dropout at batch time
     lora: LoRAConfig = field(default_factory=LoRAConfig)
+    # fp32 weight EMA (None = off). Not in the reference; standard for SDXL
+    # fine-tunes (the published SDXL base weights are EMA'd).
+    ema_decay: Optional[float] = None
 
 
 @dataclass

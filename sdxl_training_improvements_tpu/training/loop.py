@@ -275,13 +275,17 @@ class SDXLTrainer:
 
     # ------------------------------------------------------------- weights
     def eval_params(self):
-        """Weights to evaluate/export.  Schedule-free optimizers train on the
-        interpolated y iterate but the averaged x sequence is the model you
-        ship — recover it (reference ``eval()`` intent,
+        """Weights to evaluate/export.  Precedence: the fp32 EMA shadow
+        when ``training.ema_decay`` is on; else schedule-free optimizers
+        train on the interpolated y iterate but the averaged x sequence is
+        the model you ship — recover it (reference ``eval()`` intent,
         ``adamw_schedulefree/__init__.py:57-69``)."""
         from sdxl_training_improvements_tpu.training.optimizers import (
-            ScheduleFreeKahanState, schedule_free_eval_params)
+            EMAState, ScheduleFreeKahanState, ema_eval_params,
+            schedule_free_eval_params, unwrap_ema)
         opt_state = self.state.opt_state
+        if isinstance(opt_state, EMAState):
+            return ema_eval_params(opt_state, self.state.params)
         if isinstance(opt_state, ScheduleFreeKahanState):
             return schedule_free_eval_params(
                 opt_state, self.state.params,

@@ -12,6 +12,8 @@ import optax
 
 from sdxl_training_improvements_tpu.training.optimizers.adamw_bf16 import (
     AdamWBF16State, adamw_bf16)
+from sdxl_training_improvements_tpu.training.optimizers.ema import (
+    EMAState, ema_eval_params, unwrap_ema, with_ema)
 from sdxl_training_improvements_tpu.training.optimizers.schedule_free import (
     ScheduleFreeKahanState, adamw_schedule_free_kahan,
     schedule_free_eval_params)
@@ -20,15 +22,24 @@ from sdxl_training_improvements_tpu.training.optimizers.soap import (
 
 __all__ = [
     "adamw_bf16", "adamw_schedule_free_kahan", "soap", "make_optimizer",
-    "AdamWBF16State", "ScheduleFreeKahanState", "SOAPState",
-    "schedule_free_eval_params",
+    "AdamWBF16State", "ScheduleFreeKahanState", "SOAPState", "EMAState",
+    "schedule_free_eval_params", "with_ema", "ema_eval_params",
+    "unwrap_ema",
 ]
 
 
 def make_optimizer(config) -> optax.GradientTransformation:
     """Build the optimizer from an ``OptimizerConfig`` (same selection
-    surface as reference ``main.py:73-86``)."""
+    surface as reference ``main.py:73-86``).  When the root config sets
+    ``training.ema_decay`` the optimizer is wrapped with the fp32 weight
+    EMA (``ema.with_ema``)."""
     oc = config.optimizer if hasattr(config, "optimizer") else config
+    ema_decay = getattr(getattr(config, "training", None), "ema_decay", None)
+    base = _make_base(oc)
+    return with_ema(base, decay=ema_decay) if ema_decay else base
+
+
+def _make_base(oc) -> optax.GradientTransformation:
     kind = oc.optimizer_type.lower()
     common = dict(lr=oc.learning_rate, betas=(oc.beta1, oc.beta2),
                   eps=oc.epsilon, weight_decay=oc.weight_decay)

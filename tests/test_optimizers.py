@@ -230,3 +230,93 @@ class TestRegistry:
         cfg.optimizer.optimizer_type = "bogus"
         with pytest.raises(ValueError, match="Unsupported optimizer"):
             make_optimizer(cfg)
+
+
+class TestEMA:
+    def _setup(self):
+        import optax
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            with_ema)
+        params = {"w": jnp.ones((4,), jnp.float32)}
+        opt = with_ema(optax.sgd(0.1), decay=0.5, warmup=False)
+        return opt, params
+
+    def test_tracks_average(self):
+        opt, params = self._setup()
+        state = opt.init(params)
+        np.testing.assert_allclose(np.asarray(state.ema["w"]), 1.0)
+        grads = {"w": jnp.ones((4,), jnp.float32)}
+        for _ in range(3):
+            updates, state = opt.update(grads, state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+        # sgd(0.1): params 1.0 -> 0.9 -> 0.8 -> 0.7
+        np.testing.assert_allclose(np.asarray(params["w"]), 0.7, rtol=1e-6)
+        # ema with d=0.5: 1 -> .95 -> .875 -> .7875
+        np.testing.assert_allclose(np.asarray(state.ema["w"]), 0.7875,
+                                   rtol=1e-6)
+
+    def test_eval_params_and_unwrap(self):
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            ema_eval_params, unwrap_ema)
+        opt, params = self._setup()
+        state = opt.init(params)
+        out = ema_eval_params(state, {"w": jnp.zeros((4,), jnp.bfloat16)})
+        assert out["w"].dtype == jnp.bfloat16
+        assert unwrap_ema(state) is state.inner
+        # non-EMA state falls through
+        assert ema_eval_params("not-ema", params) is params
+
+    def test_config_wiring(self):
+        from sdxl_training_improvements_tpu.config import Config
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            EMAState, make_optimizer)
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw_bf16"
+        cfg.training.ema_decay = 0.999
+        opt = make_optimizer(cfg)
+        params = {"w": jnp.ones((4,), jnp.bfloat16)}
+        state = opt.init(params)
+        assert isinstance(state, EMAState)
+        g = {"w": jnp.full((4,), 0.01, jnp.bfloat16)}
+        updates, state2 = opt.update(g, state, params)
+        assert state2.ema["w"].dtype == jnp.float32
+        assert int(state2.count) == 1
+        # off by default
+        cfg.training.ema_decay = None
+        assert not isinstance(make_optimizer(cfg).init(params), EMAState)
+
+    def test_trainer_eval_params_prefers_ema(self, tmp_path):
+        from sdxl_training_improvements_tpu.config import Config
+        from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg = Config()
+        cfg.model.model_type = "sdxl_tiny"
+        cfg.model.pretrained_model_name = "/nonexistent"
+        cfg.training.mixed_precision = "no"
+        cfg.training.ema_decay = 0.9
+        cfg.tpu.donate_state = False
+        cfg.global_config.logging.log_dir = str(tmp_path)
+        model = SDXLModel.create(tiny=True, dtype=jnp.float32,
+                                 init_rng=jax.random.key(0))
+        tr = SDXLTrainer(cfg, model=model, output_dir=str(tmp_path),
+                         use_mesh=False)
+        ucfg = model.unet_config
+        batch = {
+            "vae_latents": jax.random.normal(jax.random.key(1),
+                                             (4, 4, 16, 16)),
+            "prompt_embeds": jnp.zeros((4, 77, ucfg.cross_attention_dim)),
+            "pooled_prompt_embeds": jnp.zeros((4, ucfg.pooled_embed_dim)),
+            "time_ids": jnp.zeros((4, 6)),
+        }
+        tr.state, _ = tr.train_step(tr.state, batch)
+        ev = tr.eval_params()
+        # EMA after 1 warmupless... warmup ramp: d=min(0.9, 2/11) small ->
+        # ema closer to new params than old; just check it differs from
+        # both raw trees and has param dtypes
+        leaves_ev = jax.tree_util.tree_leaves(ev)
+        leaves_p = jax.tree_util.tree_leaves(tr.state.params)
+        assert leaves_ev[0].dtype == leaves_p[0].dtype
+        assert not all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_ev, leaves_p))

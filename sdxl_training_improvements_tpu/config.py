@@ -247,6 +247,7 @@ class TPUConfig:
     axis_names: List[str] = field(default_factory=lambda: ["data", "fsdp", "tensor"])
     shard_params: bool = False  # shard params+opt state over fsdp axis
     remat: bool = True  # gradient rematerialisation in the UNet
+    remat_policy: str = "full"  # full | dots (dots_saveable selective remat)
     use_pallas_attention: bool = True
     donate_state: bool = True
     profile_dir: Optional[str] = None

@@ -38,6 +38,7 @@ class SDXLModel:
                policy: Optional[Policy] = None,
                weight_dtypes: Optional[ModelWeightDtypes] = None,
                remat: Optional[bool] = None,
+               remat_policy: Optional[str] = None,
                use_pallas: Optional[bool] = None,
                init_rng: Optional[jax.Array] = None,
                init_components=("unet",), latent_size: int = 16) -> "SDXLModel":
@@ -62,6 +63,8 @@ class SDXLModel:
         overrides = {}
         if remat is not None:
             overrides["remat"] = remat
+        if remat_policy is not None:
+            overrides["remat_policy"] = remat_policy
         if use_pallas is not None:
             overrides["use_pallas"] = use_pallas
         if overrides:

@@ -49,6 +49,12 @@ class UNetConfig:
     projection_class_embeddings_input_dim: int = 2816
     norm_num_groups: int = 32
     remat: bool = True
+    # "full": recompute everything in the block (min memory);
+    # "dots": jax.checkpoint_policies.dots_saveable — matmul/conv outputs
+    # are kept, only cheap elementwise work is recomputed (the middle
+    # ground between remat on/off: ~the memory win at a fraction of the
+    # 16% recompute tax, docs/performance.md)
+    remat_policy: str = "full"
     use_pallas: bool = True
 
     @classmethod
@@ -92,8 +98,18 @@ class SDXLUNet(nn.Module):
         cfg = self.config
         res_cls, tfm_cls = ResnetBlock2D, Transformer2DModel
         if cfg.remat:
-            res_cls = nn.remat(ResnetBlock2D)
-            tfm_cls = nn.remat(Transformer2DModel)
+            import jax
+            policies = {
+                "full": None,
+                "dots": jax.checkpoint_policies.dots_saveable,
+            }
+            if cfg.remat_policy not in policies:
+                raise ValueError(
+                    f"Unknown remat_policy {cfg.remat_policy!r}; "
+                    f"one of {sorted(policies)}")
+            policy = policies[cfg.remat_policy]
+            res_cls = nn.remat(ResnetBlock2D, policy=policy)
+            tfm_cls = nn.remat(Transformer2DModel, policy=policy)
         return res_cls, tfm_cls
 
     @nn.compact

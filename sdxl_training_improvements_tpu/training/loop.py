@@ -147,6 +147,7 @@ class SDXLTrainer:
             self.config.training.mixed_precision)
         model = SDXLModel.create(tiny=tiny, policy=policy,
                                  remat=self.config.tpu.remat,
+                                 remat_policy=self.config.tpu.remat_policy,
                                  use_pallas=self.config.tpu.use_pallas_attention)
         local = Path(name)
         if local.exists():

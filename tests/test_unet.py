@@ -100,3 +100,43 @@ def test_sdxl_config_structure():
     assert cfg.time_embed_dim == 1280
     assert cfg.pooled_embed_dim == 1280
     assert cfg.projection_class_embeddings_input_dim == 2816
+
+
+def test_selective_remat_policy_matches_full():
+    """remat_policy='dots' (dots_saveable) computes the same function and
+    gradients as full remat — it only changes what the backward recomputes."""
+    import jax
+    from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
+    cfg_full = UNetConfig.tiny(remat=True)
+    cfg_dots = UNetConfig.tiny(remat=True, remat_policy="dots")
+    args = (jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+            jnp.ones((1, 77, cfg_full.cross_attention_dim)) * 0.1,
+            jnp.ones((1, cfg_full.pooled_embed_dim)) * 0.1,
+            jnp.zeros((1, 6)))
+    m_full = SDXLUNet(config=cfg_full, dtype=jnp.float32,
+                      param_dtype=jnp.float32)
+    m_dots = SDXLUNet(config=cfg_dots, dtype=jnp.float32,
+                      param_dtype=jnp.float32)
+    params = m_full.init(jax.random.key(0), *args)
+
+    def loss(m, p):
+        return (m.apply(p, *args) ** 2).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_full, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m_dots, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7)
+
+
+def test_bad_remat_policy_raises():
+    import jax
+    from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
+    cfg = UNetConfig.tiny(remat=True, remat_policy="bogus")
+    m = SDXLUNet(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        m.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16)),
+               jnp.zeros((1,)), jnp.zeros((1, 77, cfg.cross_attention_dim)),
+               jnp.zeros((1, cfg.pooled_embed_dim)), jnp.zeros((1, 6)))

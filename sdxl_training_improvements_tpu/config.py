@@ -247,7 +247,11 @@ class TPUConfig:
     axis_names: List[str] = field(default_factory=lambda: ["data", "fsdp", "tensor"])
     shard_params: bool = False  # shard params+opt state over fsdp axis
     remat: bool = True  # gradient rematerialisation in the UNet
-    remat_policy: str = "full"  # full | dots (dots_saveable selective remat)
+    # full | dots_nobatch | dots — selective remat; "dots_nobatch"
+    # (dots_with_no_batch_dims_saveable) saves projection/conv matmuls and
+    # recomputes the S^2 attention logits; plain "dots" keeps the logits
+    # too and OOMs 16GB chips at 1024^2
+    remat_policy: str = "full"
     use_pallas_attention: bool = True
     donate_state: bool = True
     profile_dir: Optional[str] = None

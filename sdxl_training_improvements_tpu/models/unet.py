@@ -101,7 +101,15 @@ class SDXLUNet(nn.Module):
             import jax
             policies = {
                 "full": None,
+                # "dots" keeps EVERY dot output — including the S^2
+                # attention logits (640MB per 4096-token head-batch), which
+                # OOMs a 16GB chip at 1024^2; kept for small-resolution use
                 "dots": jax.checkpoint_policies.dots_saveable,
+                # the right middle ground for attention-heavy models:
+                # batched einsums (the S^2 logits) are recomputed, plain
+                # projection/conv matmuls are saved
+                "dots_nobatch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             }
             if cfg.remat_policy not in policies:
                 raise ValueError(

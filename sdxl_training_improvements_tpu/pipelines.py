@@ -56,7 +56,8 @@ class SDXLPipeline:
 
     def __call__(self, prompts: Sequence[str], height: int = 1024,
                  width: int = 1024, num_inference_steps: int = 28,
-                 guidance_scale: float = 5.0, seed: int = 0
+                 guidance_scale: float = 5.0, seed: int = 0,
+                 negative_prompts: Optional[Sequence[str]] = None
                  ) -> List[np.ndarray]:
         sampler = ValidationSampler(self.model, self.tokenizers,
                                     self.schedule,
@@ -64,4 +65,5 @@ class SDXLPipeline:
                                     guidance_scale=guidance_scale)
         return sampler.generate(self.model.params["unet"], list(prompts),
                                 jax.random.key(seed), height=height,
-                                width=width)
+                                width=width,
+                                negative_prompts=negative_prompts)

@@ -66,9 +66,21 @@ class ValidationSampler:
         return fn
 
     def generate(self, unet_params, prompts: Sequence[str], key: jax.Array,
-                 height: int = 1024, width: int = 1024) -> List[np.ndarray]:
-        """Sample one image per prompt; returns HWC uint8 arrays."""
-        ids_l, ids_g = self.tokenizers(list(prompts) + [""] * len(prompts))
+                 height: int = 1024, width: int = 1024,
+                 negative_prompts: Optional[Sequence[str]] = None
+                 ) -> List[np.ndarray]:
+        """Sample one image per prompt; returns HWC uint8 arrays.
+
+        ``negative_prompts`` replace the empty-string unconditional rows
+        (the diffusers-pipeline CFG surface the reference hands back via
+        ``create_pipeline``, ``sdxl.py:188-198``)."""
+        negs = (list(negative_prompts) if negative_prompts
+                else [""] * len(prompts))
+        if len(negs) != len(prompts):
+            raise ValueError(
+                f"negative_prompts ({len(negs)}) must match prompts "
+                f"({len(prompts)})")
+        ids_l, ids_g = self.tokenizers(list(prompts) + negs)
         enc = self.model.encode_prompt(jnp.asarray(ids_l), jnp.asarray(ids_g))
         n = len(prompts)
         # [uncond; cond] stacking

@@ -251,3 +251,36 @@ class TestValidation:
                                NoiseSchedule.from_config(cfg), cfg,
                                jax.random.key(0))
         assert loss is not None and np.isfinite(loss)
+
+
+class TestNegativePrompts:
+    def test_sampler_accepts_negative_prompts(self, model, tmp_path):
+        from sdxl_training_improvements_tpu.models.tokenizer import (
+            TokenizerPair)
+        from sdxl_training_improvements_tpu.training.schedules import (
+            NoiseSchedule)
+        sampler = ValidationSampler(model, TokenizerPair.fallback(),
+                                    NoiseSchedule.create(),
+                                    num_inference_steps=3)
+        imgs_a = sampler.generate(model.params["unet"], ["a cat"],
+                                  jax.random.key(0), height=32, width=32)
+        imgs_b = sampler.generate(model.params["unet"], ["a cat"],
+                                  jax.random.key(0), height=32, width=32,
+                                  negative_prompts=["blurry, low quality"])
+        assert imgs_a[0].shape == imgs_b[0].shape
+        # the negative prompt must change the unconditional CFG rows
+        # (check at the denoiser level — the tiny random VAE decodes
+        # everything to near-gray, so uint8 images can't discriminate)
+        ids_pos, ids_pos_g = TokenizerPair.fallback()(["a cat", ""])
+        ids_neg, ids_neg_g = TokenizerPair.fallback()(
+            ["a cat", "blurry, low quality"])
+        enc_pos = model.encode_prompt(jnp.asarray(ids_pos),
+                                      jnp.asarray(ids_pos_g))
+        enc_neg = model.encode_prompt(jnp.asarray(ids_neg),
+                                      jnp.asarray(ids_neg_g))
+        assert not np.allclose(np.asarray(enc_pos["prompt_embeds"][1]),
+                               np.asarray(enc_neg["prompt_embeds"][1]))
+        with pytest.raises(ValueError, match="must match prompts"):
+            sampler.generate(model.params["unet"], ["a", "b"],
+                             jax.random.key(0), height=32, width=32,
+                             negative_prompts=["only one"])

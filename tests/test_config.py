@@ -166,3 +166,26 @@ def test_reference_repo_config_loads_verbatim():
     from sdxl_training_improvements_tpu.data.paths import convert_windows_path
     p = convert_windows_path(cfg.data.train_data_dir[0])
     assert str(p).startswith("/mnt/d/")
+
+
+class TestShippedConfigs:
+    """Every YAML under configs/ (the five BASELINE measurement configs)
+    must load and construct its schedule/optimizer/method."""
+
+    @pytest.mark.parametrize("path", sorted(
+        __import__("pathlib").Path(__file__).parent.parent.glob(
+            "configs/*.yaml")), ids=lambda p: p.stem)
+    def test_loads_and_constructs(self, path):
+        from sdxl_training_improvements_tpu.config import Config
+        from sdxl_training_improvements_tpu.training.methods import get_method
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            make_optimizer)
+        from sdxl_training_improvements_tpu.training.schedules import (
+            NoiseSchedule)
+        cfg = Config.from_yaml(path)
+        sched = NoiseSchedule.from_config(cfg)
+        assert sched.num_timesteps == cfg.model.num_timesteps
+        assert callable(get_method(cfg.training.method))
+        opt = make_optimizer(cfg)
+        assert opt.init is not None and opt.update is not None
+        assert cfg.training.batch_size >= 1

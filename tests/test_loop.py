@@ -224,18 +224,33 @@ class TestTrainerWithMesh:
         assert np.isfinite(float(metrics["loss"]))
         assert dict(trainer.mesh.shape)["data"] == 8
 
-    def test_indivisible_batch_raises_through_prefetch(self, trainer_setup):
-        """A sharding error inside the prefetch worker must surface, not
-        silently end the epoch."""
+    def test_indivisible_batch_rejected_at_construction(self, trainer_setup):
+        """batch_size not divisible by the data-mesh extent fails FAST at
+        trainer construction with an actionable message (it used to
+        surface as a cryptic device_put error from inside the prefetch
+        worker mid-epoch)."""
         cfg, model, ds, tmp_path = trainer_setup
         from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
         cfg.training.batch_size = 2  # not divisible by 8 devices
-        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
-                              output_dir=str(tmp_path / "bad_out"),
-                              use_mesh=True)
-        trainer.prepare_data()
-        with pytest.raises(ValueError, match="divisible"):
-            trainer.train(num_epochs=1)
+        with pytest.raises(ValueError,
+                           match="divisible by the data-parallel mesh"):
+            SDXLTrainer(cfg, model=model, dataset=ds,
+                        output_dir=str(tmp_path / "bad_out"), use_mesh=True)
+
+    def test_prefetch_worker_errors_propagate(self):
+        """An exception inside the background prefetch worker must surface
+        to the consumer, not silently end the epoch."""
+        from sdxl_training_improvements_tpu.data.pipeline import (
+            prefetch_to_device)
+
+        def gen():
+            yield {"x": np.zeros((2, 2), np.float32)}
+            raise RuntimeError("worker exploded")
+
+        it = prefetch_to_device(gen(), mesh=None, prefetch=1)
+        next(it)
+        with pytest.raises(RuntimeError, match="worker exploded"):
+            list(it)
 
 
 class TestPipeline:

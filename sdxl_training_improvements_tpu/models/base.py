@@ -22,6 +22,8 @@ class ModelType(enum.Enum):
     @classmethod
     def from_str(cls, name: str) -> "ModelType":
         key = name.strip().lower().replace("-", "_")
+        if key == "tiny":  # accepted shorthand for the test miniature
+            return cls.SDXL_TINY
         for m in cls:
             if m.value == key:
                 return m

@@ -83,6 +83,12 @@ class SDXLTrainer:
         self.model = model
         self.tokenizers = self._load_tokenizers()
 
+        # fail fast on a bad bias-strategy string (the enum is the public
+        # config surface, reference ``models/base.py:33-38``)
+        from sdxl_training_improvements_tpu.models.base import (
+            TimestepBiasStrategy)
+        TimestepBiasStrategy.from_str(config.model.timestep_bias_strategy)
+
         # ----- schedule / optimizer / step
         self.schedule = NoiseSchedule.from_config(config)
         self.optimizer = make_optimizer(config)
@@ -137,9 +143,10 @@ class SDXLTrainer:
 
     # ------------------------------------------------------------ builders
     def _load_model(self) -> SDXLModel:
+        from sdxl_training_improvements_tpu.models.base import ModelType
         name = self.config.model.pretrained_model_name
-        tiny = self.config.model.model_type in ("sdxl_tiny", "sdxl-tiny",
-                                                "tiny")
+        tiny = ModelType.from_str(
+            self.config.model.model_type) is ModelType.SDXL_TINY
         # core.types.Policy is the single mixed-precision source
         # (reference ModelWeightDtypes role, ``src/core/types.py:40-118``);
         # config.tpu.{remat,use_pallas_attention} thread into UNetConfig here.

@@ -207,7 +207,13 @@ class SDXLTrainer:
                               batch_size=self.config.training.batch_size,
                               center_crop=self.config.data.center_crop,
                               random_flip=self.config.data.random_flip)
-            self.logger.info(f"Precomputed {n} latent/embedding entries")
+            stats = ds.last_precompute_stats
+            self.logger.info(
+                f"Precomputed {n} latent/embedding entries "
+                f"({stats['images_per_sec']:.2f} imgs/sec)")
+            self.logger.log_metrics(
+                {"precompute/images_per_sec": stats["images_per_sec"],
+                 "precompute/images": n}, step=0)
         return ds
 
     # ---------------------------------------------------------------- train

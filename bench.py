@@ -178,6 +178,10 @@ def main():
         cfg_remat = UNetConfig.tiny(remat=True)
         batch, hw, steps, warmup, chunks = 1, 16, 3, 1, 2
 
+    accum = 4  # the reference's default grad-accum (config.yaml:26-45):
+    # one optimizer step per `accum` fwd+bwd micro-steps, so the update
+    # cost amortizes — this is the workload the reference actually runs
+
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
@@ -197,15 +201,20 @@ def main():
         t_opt, n_params = bench_optimizer_full_scale(cfg, hw,
                                                      n_chunks=chunks)
         log(f"optimizer: {t_opt*1e3:.1f} ms/step over {n_params} params")
+        # per-sample time with the reference's grad accumulation:
+        # accum micro fwd+bwd steps share one optimizer update
+        t_full = t_fb + t_opt / accum
         result.update({
             "optimizer_ms": round(t_opt * 1e3, 2),
             "optimizer_params": n_params,
-            "composition": "fwd_bwd(+grad-norm) + bf16-SR-AdamW update "
+            "no_accum_full_step_samples_per_s": round(
+                batch / (t_fb + t_opt), 4),
+            "composition": "fwd_bwd(+grad-norm) + bf16-SR-AdamW update/"
+                           f"grad_accum({accum}, reference default); update "
                            f"measured at full scale in {chunks} resident "
                            "chunks (elementwise, times sum exactly); full "
                            "state exceeds this 16GB dev chip, target is v5p",
         })
-        t_full = t_fb + t_opt
     except Exception as e:  # partial result beats no result
         log(f"optimizer phase failed: {e!r}; reporting fwd+bwd only")
         result["composition"] = f"fwd_bwd only (optimizer bench failed: {e})"

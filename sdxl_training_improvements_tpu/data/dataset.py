@@ -78,11 +78,6 @@ def compute_time_ids(original_size: Tuple[int, int],
 class AspectBucketDataset:
     """Bucketed dataset over (image_path, caption) pairs with a latent cache."""
 
-    # filled by precompute(); present before it runs so callers can always
-    # read the rate (the BASELINE latent-cache imgs/sec metric)
-    last_precompute_stats = {"images": 0, "seconds": 0.0,
-                             "images_per_sec": 0.0}
-
     def __init__(self, config, image_paths: Sequence[str],
                  captions: Sequence[str],
                  cache_manager: Optional[CacheManager] = None,
@@ -97,6 +92,10 @@ class AspectBucketDataset:
         self.buckets = buckets if buckets is not None else generate_buckets(config)
         self._bucket_of: Dict[int, Bucket] = {}
         self.bucket_indices: Dict[Tuple[int, int], List[int]] = {}
+        # per-instance stats, filled by precompute() (the BASELINE
+        # latent-cache imgs/sec metric); always present for callers
+        self.last_precompute_stats = {"images": 0, "seconds": 0.0,
+                                      "images_per_sec": 0.0}
         self._assign_all()
 
     # ----------------------------------------------------------- assignment

@@ -40,8 +40,14 @@ def check_shard_integrity(dataset, batch_size: int, num_shards: int = 1,
     local_batches = len(sampler)
     missing = 0
     if dataset.cache is not None:
+        # only bucketed images can ever be sampled (unreadable / no-bucket
+        # images are skipped at assignment and will never be cached —
+        # counting them would make this gate permanently impassable)
+        assigned = (i for idxs in dataset.bucket_indices.values()
+                    for i in idxs)
         missing = sum(
-            1 for p in dataset.image_paths if not dataset.cache.is_cached(p))
+            1 for i in assigned
+            if not dataset.cache.is_cached(dataset.image_paths[i]))
     process_count = (jax.process_count() if process_count is None
                      else process_count)
     if process_count <= 1:
@@ -78,7 +84,13 @@ def batches_for_epoch(dataset, batch_size: int, epoch: int = 0, seed: int = 0,
 
     ``strict`` (default: on for multi-shard runs) turns a dropped
     ragged/invalid batch into an error — on multi-host, dropping is never
-    safe (collective desync); failing loudly is.
+    safe (collective desync).  Scope of the guarantee: this raises on the
+    host that SEES the bad batch, turning an undiagnosable all-host hang
+    into a visible error there (peers already inside the step's all-reduce
+    still block until the runtime's collective timeout / job supervisor
+    kills them).  The pre-epoch ``check_shard_integrity`` gate is what
+    raises on every host — this is the mid-epoch backstop for state that
+    changed after the gate (e.g. cache files deleted during the epoch).
     """
     sampler = dataset.make_sampler(batch_size, seed=seed,
                                    num_shards=num_shards, shard=shard)

@@ -146,16 +146,27 @@ def import_lora(path, base_params, prefix: str = "unet") -> dict:
                 if p not in ("params", "kernel")]
         reverse[".".join(W._flax_seg_to_hf(m) for m in mods)] = flax_path
     tree: dict = {}
+    skipped = []
     for k, v in state.items():
         if not k.endswith((".lora_A.weight", ".lora_B.weight")):
             continue
         mods, which = k.rsplit(".lora_", 1)
-        mods = mods[len(prefix) + 1:]  # drop "unet." prefix
+        if not mods.startswith(prefix + "."):
+            # standard diffusers LoRA files can also carry text_encoder.*
+            # adapters — skip foreign prefixes, report once below
+            skipped.append(k)
+            continue
+        mods = mods[len(prefix) + 1:]
         flax_path = reverse.get(mods)
         if flax_path is None:
             raise KeyError(f"LoRA key {k!r} matches no kernel in the model")
         pair = tree.setdefault(flax_path, {})
         pair["down" if which.startswith("A") else "up"] = v.T
+    if skipped:
+        import logging
+        logging.getLogger(__name__).warning(
+            "import_lora: skipped %d non-%r adapter keys (e.g. %s)",
+            len(skipped), prefix, skipped[0])
     return tree
 
 

@@ -296,8 +296,10 @@ class SDXLTrainer:
         ``adamw_schedulefree/__init__.py:57-69``)."""
         from sdxl_training_improvements_tpu.training.optimizers import (
             EMAState, ScheduleFreeKahanState, ema_eval_params,
-            schedule_free_eval_params, unwrap_ema)
+            schedule_free_eval_params)
         opt_state = self.state.opt_state
+        # (EMA + schedule-free is rejected at make_optimizer, so these
+        # branches are mutually exclusive)
         if isinstance(opt_state, EMAState):
             return ema_eval_params(opt_state, self.state.params)
         if isinstance(opt_state, ScheduleFreeKahanState):
@@ -323,7 +325,16 @@ class SDXLTrainer:
             size = self.config.data.image_size
             vl = ValidationLogger(sampler, prompts, self.output_dir,
                                   logger=self.logger, height=size, width=size)
-            vl.run_validation(self.eval_params(), int(self.state.step))
+            unet_params = self.eval_params()
+            if self.lora_apply is not None:
+                # eval_params() is the LoRA pair tree in LoRA mode — the
+                # sampler needs full merged UNet weights
+                from sdxl_training_improvements_tpu.models.lora import (
+                    lora_merge)
+                unet_params = lora_merge(
+                    self.model.trainable_params(), unet_params,
+                    alpha=self.config.training.lora.alpha)
+            vl.run_validation(unet_params, int(self.state.step))
         except Exception as e:  # sampling must never kill training
             self.logger.warning(f"validation sampling failed: {e}")
 

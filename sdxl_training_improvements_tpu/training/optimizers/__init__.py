@@ -35,6 +35,13 @@ def make_optimizer(config) -> optax.GradientTransformation:
     EMA (``ema.with_ema``)."""
     oc = config.optimizer if hasattr(config, "optimizer") else config
     ema_decay = getattr(getattr(config, "training", None), "ema_decay", None)
+    if ema_decay and oc.optimizer_type.lower() == "adamw_schedule_free_kahan":
+        raise ValueError(
+            "training.ema_decay cannot be combined with the schedule-free "
+            "optimizer: schedule-free training IS a weight-averaging scheme "
+            "(its x sequence is the shipped model, recovered at export); an "
+            "EMA of the y training iterate would shadow that recovery with "
+            "ill-defined weights. Disable one of the two.")
     base = _make_base(oc)
     return with_ema(base, decay=ema_decay) if ema_decay else base
 

@@ -458,3 +458,46 @@ class TestCFGDropout:
         np.testing.assert_array_equal(batch["prompt_embeds"], 0.0)
         batch2 = ds.get_batch(idxs, proportion_empty_prompts=0.0)
         np.testing.assert_array_equal(batch2["prompt_embeds"], 1.0)
+
+
+class TestIntegrityIgnoresUnbucketable:
+    def test_unreadable_image_does_not_block_multihost(self, image_dataset,
+                                                       tmp_path):
+        """Images that fail bucket assignment are never cached and must not
+        count as 'missing from the latent cache' (they can never be
+        sampled) — counting them made the multi-host gate impassable."""
+        from sdxl_training_improvements_tpu.data.buckets import (
+            supported_dims_buckets)
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        from sdxl_training_improvements_tpu.data.dataset import (
+            AspectBucketDataset)
+        from sdxl_training_improvements_tpu.data.paths import (
+            load_data_from_directory)
+        from sdxl_training_improvements_tpu.data.pipeline import (
+            check_shard_integrity)
+        cfg, img_dir = image_dataset
+        # an unreadable "image" alongside the good ones
+        (img_dir / "broken.png").write_bytes(b"not a png")
+        (img_dir / "broken.txt").write_text("caption")
+        paths, captions = load_data_from_directory(cfg.data.train_data_dir)
+        cm = CacheManager(cfg.global_config.cache.cache_dir)
+        ds = AspectBucketDataset(cfg, paths, captions, cm,
+                                 buckets=supported_dims_buckets(cfg))
+        assert len(paths) == 6  # broken one included in the listing
+
+        def enc_i(px):
+            b, c, h, w = px.shape
+            return px.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))[:, :4]
+
+        def enc_p(caps):
+            return {"prompt_embeds": np.zeros((len(caps), 77, 32),
+                                              np.float32),
+                    "pooled_prompt_embeds": np.zeros((len(caps), 16),
+                                                     np.float32)}
+
+        ds.precompute(enc_i, enc_p, batch_size=2)
+        gathered = lambda x: np.stack([np.asarray(x), np.asarray(x)])
+        # must NOT raise about missing cache entries
+        n = check_shard_integrity(ds, 2, process_count=2,
+                                  _allgather=gathered)
+        assert n >= 1

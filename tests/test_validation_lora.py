@@ -284,3 +284,55 @@ class TestNegativePrompts:
             sampler.generate(model.params["unet"], ["a", "b"],
                              jax.random.key(0), height=32, width=32,
                              negative_prompts=["only one"])
+
+
+class TestReviewRegressions:
+    """Round-2 self-review findings (code-review pass)."""
+
+    def test_lora_validation_images_actually_render(self, model, tmp_path):
+        """LoRA mode must merge the adapter before sampling — previously
+        the raw pair tree hit the UNet and the failure was swallowed."""
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg = Config()
+        cfg.model.model_type = "sdxl_tiny"
+        cfg.model.pretrained_model_name = "/nonexistent"
+        cfg.training.mixed_precision = "no"
+        cfg.training.num_inference_steps = 2
+        cfg.training.lora.enabled = True
+        cfg.training.lora.rank = 2
+        cfg.tpu.donate_state = False
+        cfg.data.image_size = 32
+        cfg.data.validation_prompts = ["a validation prompt"]
+        cfg.global_config.logging.log_dir = str(tmp_path / "logs")
+        tr = SDXLTrainer(cfg, model=model, output_dir=str(tmp_path / "out"),
+                         use_mesh=False)
+        tr.run_validation_images()
+        pngs = list((tmp_path / "out").rglob("*.png"))
+        assert pngs, "LoRA validation sampling produced no images"
+
+    def test_ema_plus_schedule_free_rejected(self):
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            make_optimizer)
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw_schedule_free_kahan"
+        cfg.training.ema_decay = 0.999
+        with pytest.raises(ValueError, match="schedule-free"):
+            make_optimizer(cfg)
+
+    def test_import_lora_skips_foreign_prefixes(self, model, tmp_path):
+        from sdxl_training_improvements_tpu.models.lora import lora_init
+        from sdxl_training_improvements_tpu.models.weights import (
+            save_safetensors)
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_lora, import_lora)
+        base = model.params["unet"]
+        lora = lora_init(base, jax.random.key(0), rank=2)
+        out = export_lora(tmp_path, lora, rank=2, alpha=1.0)
+        # append a text_encoder adapter key like real diffusers LoRA files
+        from safetensors.numpy import load_file
+        state = load_file(str(out))
+        state["text_encoder.text_model.encoder.layers.0.self_attn.q_proj"
+              ".lora_A.weight"] = np.zeros((2, 32), np.float32)
+        save_safetensors(state, out)
+        back = import_lora(out, base)  # must not raise
+        assert set(back) == set(lora)

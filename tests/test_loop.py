@@ -280,3 +280,22 @@ class TestValidationInTraining:
         trainer.train(num_epochs=1)
         pngs = list((tmp_path / "vout").glob("validation-*/*.png"))
         assert pngs, "no validation images produced"
+
+
+class TestGenerateCLI:
+    def test_generate_from_exported_checkpoint(self, trainer_setup, tmp_path):
+        """Export a checkpoint, then sample through the generate CLI."""
+        cfg, model, ds, _ = trainer_setup
+        from sdxl_training_improvements_tpu.generate import main as gen_main
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_diffusers)
+        ckpt = tmp_path / "ckpt"
+        export_diffusers(ckpt, model.params)
+        out = tmp_path / "samples"
+        rc = gen_main(["--model", str(ckpt), "--tiny",
+                       "--prompt", "a test", "--negative", "blurry",
+                       "--height", "32", "--width", "32", "--steps", "2",
+                       "--out", str(out)])
+        assert rc == 0
+        pngs = list(out.glob("*.png"))
+        assert len(pngs) == 1

@@ -51,6 +51,13 @@ def create_mesh(mesh_shape: Optional[Sequence[int]] = None,
     Default: all devices on the ``data`` axis — the direct TPU analogue of the
     reference's DDP world (`every chip a data-parallel worker`).
     """
+    if tuple(axis_names) != AXIS_NAMES:
+        # every sharding rule (batch_sharding, TP_RULES, spec_for_param)
+        # names these axes literally; a renamed mesh would fail later with
+        # an opaque KeyError deep inside trainer construction
+        raise ValueError(
+            f"mesh axis names must be {list(AXIS_NAMES)} (fixed semantic "
+            f"roles: data-parallel, ZeRO, megatron), got {list(axis_names)}")
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_shape is None:
@@ -86,20 +93,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 FSDP_MIN_SIZE = 1 << 16
 
 
+def _fsdp_dim_for(shape, fsdp_size: int, exclude: Optional[int] = None,
+                  min_size: int = FSDP_MIN_SIZE) -> Optional[int]:
+    """Largest divisible dim of a *large, >=2-D* param to ZeRO-shard over
+    the fsdp axis, or None to replicate (standard ZeRO practice: shard the
+    matmul/conv weights, replicate the 1-D vectors).  ``exclude`` skips a
+    dim already taken by tensor parallelism."""
+    if len(shape) < 2 or int(np.prod(shape)) < min_size:
+        return None
+    candidates = [(d, i) for i, d in enumerate(shape)
+                  if i != exclude and d % fsdp_size == 0 and d >= fsdp_size]
+    if not candidates:
+        return None
+    _, idx = max(candidates)
+    return idx
+
+
 def _fsdp_spec_for(path_leaf_shape, fsdp_size: int,
                    min_size: int = FSDP_MIN_SIZE) -> P:
-    """Shard the largest divisible dim of a *large, >=2-D* param over the
-    fsdp axis; everything else replicates (standard ZeRO practice: shard
-    the matmul/conv weights, replicate the 1-D vectors)."""
-    shape = path_leaf_shape
-    if len(shape) < 2 or int(np.prod(shape)) < min_size:
+    """Pure-ZeRO spec for one param (no TP dim in play)."""
+    idx = _fsdp_dim_for(path_leaf_shape, fsdp_size, min_size=min_size)
+    if idx is None:
         return P()
-    # choose the largest axis divisible by the fsdp size
-    candidates = [(d, i) for i, d in enumerate(shape) if d % fsdp_size == 0 and d >= fsdp_size]
-    if not candidates:
-        return P()
-    _, idx = max(candidates)
-    spec = [None] * len(shape)
+    spec = [None] * len(path_leaf_shape)
     spec[idx] = FSDP_AXIS
     return P(*spec)
 
@@ -115,6 +131,13 @@ def _fsdp_spec_for(path_leaf_shape, fsdp_size: int,
 # derived instead of hand-written — scaling-book recipe).
 # --------------------------------------------------------------------------
 
+# Known cost: the GEGLU proj's fused [value|gate] output is sharded
+# contiguously, so the jnp.split midpoint forces GSPMD to realign both
+# halves before the elementwise gate (one collective-permute per FF).
+# True megatron handling shards value and gate independently, which needs
+# either interleaved kernel columns or a two-kernel GEGLU — both break the
+# diffusers checkpoint layout; revisit if TP profiling shows the permute
+# dominating.
 TP_RULES = (
     (re.compile(r"attn\d/to_[qkv]/kernel$"), 1),      # column: out dim
     (re.compile(r"attn\d/to_out_0/kernel$"), 0),      # row: in dim
@@ -144,21 +167,11 @@ def spec_for_param(path: str, shape, mesh: Mesh,
     if tp_dim is not None:
         spec[tp_dim] = TENSOR_AXIS
     fsdp_size = mesh.shape[FSDP_AXIS]
-    if (shard_params and fsdp_size > 1 and len(shape) >= 2
-            and int(np.prod(shape)) >= FSDP_MIN_SIZE):
-        candidates = [(d, i) for i, d in enumerate(shape)
-                      if spec[i] is None and d % fsdp_size == 0
-                      and d >= fsdp_size]
-        if candidates:
-            _, idx = max(candidates)
+    if shard_params and fsdp_size > 1:
+        idx = _fsdp_dim_for(shape, fsdp_size, exclude=tp_dim)
+        if idx is not None:
             spec[idx] = FSDP_AXIS
     return P(*spec)
-
-
-def _param_path_strs(params):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    return [("/".join(str(getattr(k, "key", k)) for k in path), leaf)
-            for path, leaf in flat]
 
 
 def param_shardings(mesh: Mesh, params, shard_params: bool = False):

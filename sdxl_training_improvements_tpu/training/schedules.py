@@ -86,6 +86,7 @@ class NoiseSchedule:
     use_ztsnr: bool
     prediction_type: str  # "epsilon" | "v_prediction"
     min_snr_gamma: Optional[float]
+    rho: float = 7.0  # retained so inference ramps match training ramps
 
     @classmethod
     def create(cls, *, num_timesteps: int = 1000, sigma_min: float = 0.002,
@@ -97,7 +98,8 @@ class NoiseSchedule:
         sigmas = karras_sigmas(num_timesteps, sigma_min, eff_sigma_max, rho)
         return cls(sigmas=sigmas, num_timesteps=num_timesteps,
                    sigma_data=sigma_data, use_ztsnr=use_ztsnr,
-                   prediction_type=prediction_type, min_snr_gamma=min_snr_gamma)
+                   prediction_type=prediction_type,
+                   min_snr_gamma=min_snr_gamma, rho=rho)
 
     @classmethod
     def from_config(cls, config) -> "NoiseSchedule":
@@ -238,19 +240,23 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
                  schedule: NoiseSchedule, num_steps: int = 28) -> jnp.ndarray:
     """Karras-Euler sampler with the ZTSNR first step.
 
-    First step treats sigma_0 as infinite: x1 = sigma_1*n - sigma_data *
-    model(n, inf) (``novelai_v3.py:72-75``), then plain Euler steps with the
-    boundary scalings (``:77-99``).  ``model_fn(x, sigma)`` is the denoiser in
-    sigma space (a closure binding params + conditioning).
+    Reference semantics (``novelai_v3.py:72-99``): the first step treats the
+    starting sigma as infinite — ``x = sigmas[0]*n - sigma_data*model(n,
+    inf)`` (``ztsnr_first_step`` with ``sigmas[0]``) — then Euler steps walk
+    EVERY adjacent sigma pair ``(sigmas[i-1], sigmas[i])``, so the sampler
+    makes exactly ``num_steps`` model calls and the sigma_max level is
+    visited by the Euler loop too.  ``model_fn(x, sigma)`` is the denoiser
+    in sigma space (a closure binding params + conditioning); the ramp uses
+    the schedule's own rho so inference matches training.
     """
     sigmas = karras_sigmas(
         num_steps,
         float(schedule.sigmas[-1]),
         ZTSNR_SIGMA_MAX if schedule.use_ztsnr else float(schedule.sigmas[0]),
-        rho=7.0,
+        rho=schedule.rho,
     )
     n = jax.random.normal(key, latent_shape, dtype=jnp.float32)
-    x = sigmas[1] * n - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf))
+    x = sigmas[0] * n - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf))
 
     def euler_step(x, sigma_pair):
         sigma_i, sigma_next = sigma_pair
@@ -259,6 +265,6 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
         d = (x - denoised) / sigma_i
         return x + (sigma_next - sigma_i) * d, None
 
-    pairs = jnp.stack([sigmas[1:-1], sigmas[2:]], axis=1)
+    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
     x, _ = jax.lax.scan(euler_step, x, pairs)
     return x

@@ -139,16 +139,14 @@ def shard_train_state(state: TrainState, mesh, shard_params: bool = False
     for path, leaf in flat:
         p = "/".join(str(getattr(k, "key", k)) for k in path)
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            # scalars and typed PRNG keys (0-d) replicate — keys can't
+            # shard usefully
             placed.append(jax.device_put(leaf, M.replicated(mesh)))
             continue
         spec = M.spec_for_param(p, leaf.shape, mesh,
                                 shard_params=shard_params)
         placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
-    placed_state = jax.tree_util.tree_unflatten(treedef, placed)
-    # rng keys must stay replicated (typed PRNG keys can't shard usefully)
-    return placed_state._replace(
-        rng=jax.device_put(state.rng, M.replicated(mesh)),
-        step=jax.device_put(state.step, M.replicated(mesh)))
+    return jax.tree_util.tree_unflatten(treedef, placed)
 
 
 def shard_batch(batch, mesh):

@@ -318,3 +318,46 @@ class TestFullSDXLManifest:
         missing, unused = W.check_bijective(template, state)
         assert missing == [], f"unmapped model params: {missing[:10]}"
         assert unused == [], f"checkpoint keys ignored: {unused[:10]}"
+
+
+class TestForeignCheckpointImport:
+    def test_import_diffusers_loads_twin_written_checkpoint(self, tmp_path):
+        """End-to-end file path: a checkpoint directory authored by the
+        torch twin (foreign torch-layout tensors on disk) loads through
+        import_diffusers and reproduces the twin's UNet function."""
+        from safetensors.numpy import save_file
+        from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            import_diffusers)
+        cfg = UNetConfig.tiny()
+        torch.manual_seed(5)
+        twin = TorchTwinUNet(cfg).eval()
+        vcfg = VAEConfig.tiny()
+        twin_vae = TorchTwinVAE(vcfg).eval()
+        (tmp_path / "unet").mkdir()
+        (tmp_path / "vae").mkdir()
+        save_file(_np_state(twin),
+                  str(tmp_path / "unet" / "diffusion_pytorch_model"
+                      ".safetensors"))
+        save_file(_np_state(twin_vae),
+                  str(tmp_path / "vae" / "diffusion_pytorch_model"
+                      ".safetensors"))
+        model = SDXLModel.create(tiny=True, dtype=jnp.float32)
+        model.params = import_diffusers(model, tmp_path)
+        assert set(model.params) == {"unet", "vae"}
+        rng = np.random.default_rng(11)
+        sample = rng.standard_normal((1, 4, 16, 16), dtype=np.float32)
+        t = np.array([250.0], np.float32)
+        ehs = rng.standard_normal((1, 77, cfg.cross_attention_dim),
+                                  dtype=np.float32)
+        pooled = rng.standard_normal((1, cfg.pooled_embed_dim),
+                                     dtype=np.float32)
+        tids = np.array([[128, 128, 0, 0, 128, 128]], np.float32)
+        with torch.no_grad():
+            ref = twin(torch.from_numpy(sample), torch.from_numpy(t),
+                       torch.from_numpy(ehs), torch.from_numpy(pooled),
+                       torch.from_numpy(tids)).numpy()
+        got = np.asarray(model.unet_apply(
+            model.params["unet"], jnp.asarray(sample), jnp.asarray(t),
+            jnp.asarray(ehs), jnp.asarray(pooled), jnp.asarray(tids)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

@@ -30,6 +30,24 @@ import numpy as np
 INDEX_NAME = "cache_index.json.zlib"
 
 
+def _atomic_write(path: Path, write_tmp) -> None:
+    """tmp-file + os.replace atomicity, shared by every cache artifact
+    (npz tensors, metadata JSON, tag index, compressed index)."""
+    tmp = path.with_name(path.name + ".tmp")
+    write_tmp(tmp)
+    os.replace(tmp, path)
+
+
+def _atomic_npz(path: Path, **arrs) -> None:
+    # np.savez appends ".npz" to bare paths; hand it an open file object so
+    # the tmp name is exactly what os.replace moves
+    def write(tmp: Path) -> None:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+
+    _atomic_write(path, write)
+
+
 class CacheManager:
     def __init__(self, cache_dir, index_save_every: int = 256):
         self.cache_dir = Path(cache_dir)
@@ -64,9 +82,7 @@ class CacheManager:
 
     def _save_index_locked(self) -> None:
         blob = zlib.compress(json.dumps(self.index).encode())
-        tmp = self.index_path.with_suffix(".tmp")
-        tmp.write_bytes(blob)
-        os.replace(tmp, self.index_path)
+        _atomic_write(self.index_path, lambda tmp: tmp.write_bytes(blob))
         self._dirty = 0
 
     def flush(self) -> None:
@@ -100,24 +116,24 @@ class CacheManager:
                      metadata: Optional[dict] = None) -> None:
         """Atomic npz + metadata + (batched) index update
         (reference ``save_latents`` ``:289-402``)."""
-        def atomic_npz(path: Path, **arrs):
-            tmp = path.with_suffix(".tmp.npz")
-            np.savez(tmp, **arrs)
-            os.replace(tmp, path)
-
-        atomic_npz(self.vae_dir / f"{key}.npz",
-                   vae_latents=np.asarray(vae_latents),
-                   time_ids=np.asarray(time_ids))
         has_clip = prompt_embeds is not None
+        if has_clip and pooled_prompt_embeds is None:
+            # np.savez would silently pickle the None into an object array
+            # that allow_pickle=False loads can never read back — the entry
+            # would be permanently poisoned while the index says clip=True
+            raise ValueError(
+                "save_latents: prompt_embeds given without "
+                "pooled_prompt_embeds (both or neither)")
+        _atomic_npz(self.vae_dir / f"{key}.npz",
+                    vae_latents=np.asarray(vae_latents),
+                    time_ids=np.asarray(time_ids))
         if has_clip:
-            atomic_npz(self.clip_dir / f"{key}.npz",
-                       prompt_embeds=np.asarray(prompt_embeds),
-                       pooled_prompt_embeds=np.asarray(pooled_prompt_embeds))
+            _atomic_npz(self.clip_dir / f"{key}.npz",
+                        prompt_embeds=np.asarray(prompt_embeds),
+                        pooled_prompt_embeds=np.asarray(pooled_prompt_embeds))
         meta = dict(metadata or {})
         meta_path = self.meta_dir / f"{key}.json"
-        tmp = meta_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(meta))
-        os.replace(tmp, meta_path)
+        _atomic_write(meta_path, lambda tmp: tmp.write_text(json.dumps(meta)))
 
         with self._lock:
             entry = {"vae": True, "clip": has_clip, **meta}
@@ -172,29 +188,37 @@ class CacheManager:
     def verify_and_prune(self) -> Tuple[int, int]:
         """Check files behind every index entry; drop broken ones.
         Returns (valid, pruned) — reference ``verify_and_rebuild_cache``."""
-        valid = pruned = 0
+        # validate OUTSIDE the lock (a whole-cache read can take minutes on
+        # large caches; concurrent save_latents must not block on it), then
+        # prune under the lock
         with self._lock:
-            for key in list(self.index):
-                ok = (self.vae_dir / f"{key}.npz").exists()
-                if ok and self.index[key].get("clip"):
-                    ok = (self.clip_dir / f"{key}.npz").exists()
-                if ok:
-                    try:
-                        with np.load(self.vae_dir / f"{key}.npz") as z:
-                            _ = z["vae_latents"].shape
-                    except Exception:
-                        ok = False
-                if ok:
-                    valid += 1
-                else:
-                    self.index.pop(key)
+            keys = list(self.index)
+            clip_flags = {k: self.index[k].get("clip") for k in keys}
+        bad = []
+        for key in keys:
+            ok = (self.vae_dir / f"{key}.npz").exists()
+            if ok and clip_flags[key]:
+                ok = (self.clip_dir / f"{key}.npz").exists()
+            if ok:
+                try:
+                    with np.load(self.vae_dir / f"{key}.npz") as z:
+                        _ = z["vae_latents"].shape
+                except Exception:
+                    ok = False
+            if not ok:
+                bad.append(key)
+        with self._lock:
+            pruned = 0
+            for key in bad:
+                if self.index.pop(key, None) is not None:
                     pruned += 1
-                    for d, suffix in ((self.vae_dir, ".npz"),
-                                      (self.clip_dir, ".npz"),
-                                      (self.meta_dir, ".json")):
-                        f = d / f"{key}{suffix}"
-                        if f.exists():
-                            f.unlink()
+                for d, suffix in ((self.vae_dir, ".npz"),
+                                  (self.clip_dir, ".npz"),
+                                  (self.meta_dir, ".json")):
+                    f = d / f"{key}{suffix}"
+                    if f.exists():
+                        f.unlink()
+            valid = len(self.index)
             self._save_index_locked()
         return valid, pruned
 
@@ -203,11 +227,9 @@ class CacheManager:
                           pooled_prompt_embeds: np.ndarray) -> None:
         """Cache the empty-caption CLIP embedding (classifier-free-guidance
         dropout support)."""
-        path = self.clip_dir / "__empty_prompt__.npz"
-        tmp = path.with_suffix(".tmp.npz")
-        np.savez(tmp, prompt_embeds=prompt_embeds,
-                 pooled_prompt_embeds=pooled_prompt_embeds)
-        os.replace(tmp, path)
+        _atomic_npz(self.clip_dir / "__empty_prompt__.npz",
+                    prompt_embeds=prompt_embeds,
+                    pooled_prompt_embeds=pooled_prompt_embeds)
 
     def load_empty_prompt(self) -> Optional[dict]:
         path = self.clip_dir / "__empty_prompt__.npz"
@@ -222,9 +244,8 @@ class CacheManager:
 
     # ----------------------------------------------------------------- tags
     def save_tag_index(self, data: dict) -> None:
-        tmp = self.tags_dir / "tag_index.tmp"
-        tmp.write_text(json.dumps(data))
-        os.replace(tmp, self.tags_dir / "tag_index.json")
+        _atomic_write(self.tags_dir / "tag_index.json",
+                      lambda tmp: tmp.write_text(json.dumps(data)))
 
     def load_tag_index(self) -> Optional[dict]:
         p = self.tags_dir / "tag_index.json"

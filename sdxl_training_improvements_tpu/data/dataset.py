@@ -30,12 +30,19 @@ from sdxl_training_improvements_tpu.data.tags import (
 
 
 def prepare_image_array(img, bucket: Bucket, center_crop: bool = True,
-                        flip: bool = False) -> Tuple[np.ndarray, Tuple[int, int],
-                                                     Tuple[int, int]]:
+                        flip: bool = False,
+                        rng: Optional[np.random.Generator] = None
+                        ) -> Tuple[np.ndarray, Tuple[int, int],
+                                   Tuple[int, int]]:
     """PIL image -> float32 CHW in [-1, 1] at bucket dims, plus
     (original_size, crop_top_left) for SDXL conditioning
     (reference ``_prepare_image_tensor`` ``dataset.py:494-525`` +
-    ``_compute_time_ids`` ``:378-392``)."""
+    ``_compute_time_ids`` ``:378-392``).
+
+    ``rng`` drives the random crop when ``center_crop=False`` — callers
+    wanting reproducible precompute MUST pass a seeded generator (the
+    global np.random fallback is neither seeded nor thread-deterministic).
+    """
     from PIL import Image
 
     orig_w, orig_h = img.size
@@ -47,8 +54,9 @@ def prepare_image_array(img, bucket: Bucket, center_crop: bool = True,
         left = (rw - tw) // 2
         top = (rh - th) // 2
     else:
-        left = np.random.randint(0, rw - tw + 1)
-        top = np.random.randint(0, rh - th + 1)
+        r = rng if rng is not None else np.random.default_rng()
+        left = int(r.integers(0, rw - tw + 1))
+        top = int(r.integers(0, rh - th + 1))
 
     # native fused path (Lanczos resize+crop+flip+normalize in C++)
     from sdxl_training_improvements_tpu import native
@@ -115,8 +123,19 @@ class AspectBucketDataset:
             return None
 
     def _assign_all(self) -> None:
-        for i in range(len(self.image_paths)):
-            size = self._image_size(i)
+        # header reads are I/O-bound; a thread pool turns the cold-start
+        # serial scan (the reference's per-image PIL open,
+        # ``bucket_utils.py:220-221``) into a parallel sweep.  Results are
+        # consumed in index order so assignment stays deterministic.
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+        n = len(self.image_paths)
+        if n == 0:
+            return
+        workers = min(16, max(1, _os.cpu_count() or 4))
+        with ThreadPoolExecutor(workers) as pool:
+            sizes = list(pool.map(self._image_size, range(n)))
+        for i, size in enumerate(sizes):
             if size is None:
                 continue
             b = assign_bucket(size, self.buckets)
@@ -180,8 +199,11 @@ class AspectBucketDataset:
             b = self._bucket_of[i]
             try:
                 with Image.open(self.image_paths[i]) as im:
+                    # per-image generator seeded by (seed, index): crops are
+                    # reproducible regardless of decode-thread scheduling
                     arr, orig, crop = prepare_image_array(
-                        im, b, center_crop=center_crop, flip=flips[i])
+                        im, b, center_crop=center_crop, flip=flips[i],
+                        rng=np.random.default_rng((seed, i)))
             except Exception:
                 return None
             tids = compute_time_ids(orig, crop, (b.height, b.width))
@@ -197,11 +219,17 @@ class AspectBucketDataset:
         workers = num_workers or min(16, (_os.cpu_count() or 4))
         t0 = _time.perf_counter()
         write_futures = []
+        max_pending_writes = 256  # backpressure: each future pins a chunk
+
+        def drain_writes(limit: int) -> None:
+            while len(write_futures) > limit:
+                write_futures.pop(0).result()
         with ThreadPoolExecutor(workers) as decode_pool, \
                 ThreadPoolExecutor(4) as write_pool:
             # decode runs ahead of the device by up to 2 chunks
             pending = collections.deque()
             ahead = 2
+            attempted = 0
             for c, chunk in enumerate(chunks):
                 pending.append([decode_pool.submit(decode_one, i)
                                 for i in chunk])
@@ -211,16 +239,22 @@ class AspectBucketDataset:
                 done += self._encode_and_write(
                     futs, encode_images, encode_prompts, write_pool,
                     write_futures)
+                attempted += len(futs)
+                drain_writes(max_pending_writes)
                 if progress:
-                    progress(done, total)
+                    # attempted includes decode failures, so the callback
+                    # always reaches (total, total)
+                    progress(attempted, total)
             while pending:
+                futs = pending.popleft()
                 done += self._encode_and_write(
-                    pending.popleft(), encode_images, encode_prompts,
+                    futs, encode_images, encode_prompts,
                     write_pool, write_futures)
+                attempted += len(futs)
+                drain_writes(max_pending_writes)
                 if progress:
-                    progress(done, total)
-            for f in write_futures:
-                f.result()  # surface writer errors
+                    progress(attempted, total)
+            drain_writes(0)  # surface writer errors
         elapsed = max(_time.perf_counter() - t0, 1e-9)
         self.last_precompute_stats = {
             "images": done, "seconds": elapsed,
@@ -269,8 +303,10 @@ class AspectBucketDataset:
 
     def _finish_precompute(self, encode_prompts, total: int, done: int) -> int:
         # cache the empty-prompt embedding once for CFG caption dropout
-        # (reference encode_prompt's proportion_empty_prompts, clip.py:52-54)
-        if total or self.cache.load_empty_prompt() is None:
+        # (reference encode_prompt's proportion_empty_prompts, clip.py:52-54);
+        # only when absent — re-encoding on every warm restart wastes a
+        # jitted text-encoder call
+        if self.cache.load_empty_prompt() is None:
             enc = encode_prompts([""])
             self.cache.save_empty_prompt(
                 np.asarray(enc["prompt_embeds"])[0],
@@ -311,7 +347,7 @@ class AspectBucketDataset:
             "time_ids": np.stack([d["time_ids"] for d in items]),
         }
         if proportion_empty_prompts > 0:
-            empty = self.cache.load_empty_prompt()
+            empty = self._empty_prompt_cached()
             if empty is not None:
                 rng = rng or np.random.default_rng()
                 drop = rng.random(len(items)) < proportion_empty_prompts
@@ -321,6 +357,16 @@ class AspectBucketDataset:
         if self.tag_weighter is not None:
             batch["tag_weights"] = self.tag_weighter.get_batch_weights(caps)
         return batch
+
+    def _empty_prompt_cached(self):
+        """Memoised empty-prompt embedding — it is immutable for the run,
+        and reading the npz per batch would put disk I/O in the hot input
+        loop."""
+        if getattr(self, "_empty_prompt_memo", None) is None:
+            # retry while absent: precompute may write it after the first
+            # get_batch (miss is a cheap Path.exists)
+            self._empty_prompt_memo = self.cache.load_empty_prompt()
+        return self._empty_prompt_memo
 
     def make_sampler(self, batch_size: int, seed: int = 0, shuffle: bool = True,
                      num_shards: int = 1, shard: int = 0) -> BucketBatchSampler:

@@ -51,7 +51,10 @@ def _fused_kernel(seed_ref, sc_ref, p_ref, g_ref, m_ref, v_ref, sh_ref,
     applied as shift -= decay_amt * p_new (reference batched decay,
     ``adamw_bfloat16/__init__.py:112-128``).
     """
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # two-word seed: (leaf seed, block id) spans a 2^64 space — a summed
+    # 32-bit seed would collide streams across (leaf, block) pairs at
+    # SDXL's ~1e6 blocks/step, correlating rounding noise between blocks
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = p_ref.shape
     noise0 = pltpu.prng_random_bits(shape).astype(jnp.uint32)
     noise1 = pltpu.prng_random_bits(shape).astype(jnp.uint32)

@@ -128,6 +128,13 @@ def lora_train_wrappers(base_params, unet_apply: Callable, rng: jax.Array,
     * branch path (``dropout > 0`` and ``rng=`` passed): flax method
       interception adds ``alpha * up(down(dropout(x)))`` at each targeted
       Dense — requires ``module`` (the flax UNet) to apply against.
+
+    Sharding note: the frozen base params are captured in the closure, so
+    the jitted step embeds them as constants — they stay replicated per
+    device and cannot ride ``tpu.shard_params``'s ZeRO sharding.  Fine on
+    single-host (frozen weights need no optimizer state); for multi-host
+    LoRA on memory-tight meshes, thread the base tree through the step as
+    an explicitly sharded argument instead (ROADMAP).
     """
     lora_params = lora_init(base_params, rng, rank=rank, targets=targets)
     if dropout > 0.0 and module is None:

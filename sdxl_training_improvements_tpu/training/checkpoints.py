@@ -58,18 +58,35 @@ def _jax_state(state) -> dict:
 
 
 def latest_checkpoint(output_dir) -> Optional[Path]:
-    """Most recent ``checkpoint-NNNN`` under output_dir (for --resume auto)."""
+    """Most recently WRITTEN checkpoint under output_dir (--resume auto).
+
+    Selected by state-dir mtime, not by name: a fixed name-based preference
+    (e.g. final_checkpoint last) can silently roll a resumed run back to a
+    stale state when newer numbered checkpoints exist from a later,
+    extended run."""
     output_dir = Path(output_dir)
     if not output_dir.exists():
         return None
-    candidates = sorted(output_dir.glob("checkpoint-*"))
-    final = output_dir / "final_checkpoint"
-    if final.exists():
-        candidates.append(final)
-    for c in reversed(candidates):
-        if (c / "state").exists():
-            return c
-    return None
+    candidates = list(output_dir.glob("checkpoint-*"))
+    for name in ("final_checkpoint", "best_checkpoint"):
+        if (output_dir / name).exists():
+            candidates.append(output_dir / name)
+    with_state = [c for c in candidates if (c / "state").exists()]
+    if not with_state:
+        return None
+    return max(with_state, key=lambda c: (c / "state").stat().st_mtime)
+
+
+def _tree_to_host(tree):
+    """Device trees -> host numpy, collective-safe: non-fully-addressable
+    leaves (multi-host sharded OR replicated arrays) are gathered with a
+    process_allgather, which every process must enter."""
+    def gather(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+    return jax.tree.map(gather, tree)
 
 
 # ------------------------------------------------------- diffusers interchange
@@ -77,20 +94,26 @@ def export_diffusers(ckpt_dir, model_params: dict, config=None,
                      scheduler_config: Optional[dict] = None) -> None:
     """Write diffusers-layout safetensors for every component present in
     ``model_params`` ({unet, vae, clip_l, clip_g}) — reference
-    ``save_pretrained`` (``sdxl.py:246-288``)."""
+    ``save_pretrained`` (``sdxl.py:246-288``).
+
+    Collective-safe: on multi-host runs CALL THIS ON EVERY PROCESS — the
+    shard gather below is a collective; only rank 0 writes files."""
     ckpt_dir = Path(ckpt_dir)
-    to_host = lambda tree: jax.tree.map(np.asarray, tree)
+    hosted = {k: _tree_to_host(v) for k, v in model_params.items()}
+    if jax.process_index() != 0:
+        return  # gather done; writing is rank-0's job
+    model_params = hosted
     if "unet" in model_params:
-        W.save_unet(to_host(model_params["unet"]),
+        W.save_unet(model_params["unet"],
                     ckpt_dir / "unet" / "diffusion_pytorch_model.safetensors")
     if "vae" in model_params:
-        W.save_vae(to_host(model_params["vae"]),
+        W.save_vae(model_params["vae"],
                    ckpt_dir / "vae" / "diffusion_pytorch_model.safetensors")
     if "clip_l" in model_params:
-        W.save_clip(to_host(model_params["clip_l"]),
+        W.save_clip(model_params["clip_l"],
                     ckpt_dir / "text_encoder" / "model.safetensors")
     if "clip_g" in model_params:
-        W.save_clip(to_host(model_params["clip_g"]),
+        W.save_clip(model_params["clip_g"],
                     ckpt_dir / "text_encoder_2" / "model.safetensors",
                     with_projection=True)
     if scheduler_config is not None:
@@ -108,27 +131,44 @@ def export_lora(ckpt_dir, lora_tree: dict, rank: int, alpha: float,
     """Write the LoRA tree as ``pytorch_lora_weights.safetensors`` in the
     diffusers/peft key layout: ``unet.<module>.lora_A.weight`` [r, in] /
     ``lora_B.weight`` [out, r] (torch Linear layout), plus a
-    ``lora_config.json`` sidecar with rank/alpha.
+    ``lora_config.json`` sidecar.
+
+    Scaling convention: this framework's delta is ``alpha * down @ up``;
+    peft consumers compute ``(lora_alpha / r) * B @ A`` and, absent a
+    config, assume scaling 1.0.  For interoperability alpha is FOLDED into
+    the exported ``lora_B`` and the sidecar declares ``lora_alpha == r``
+    (scaling exactly 1.0) — every consumer then reproduces the trained
+    delta regardless of its alpha handling, and the adapter matches the
+    merged ``unet/`` exported alongside it.
 
     Tree keys are flax param paths ("params/<mods>/kernel" with down [in,r],
     up [r,out]) as produced by ``models.lora.lora_init``.
     """
     ckpt_dir = Path(ckpt_dir)
+    lora_tree = _tree_to_host(lora_tree)  # collective on multi-host
+    out = ckpt_dir / "pytorch_lora_weights.safetensors"
+    if jax.process_index() != 0:
+        return out
     state = {}
     for path, pair in lora_tree.items():
         mods = [p for p in path.split("/") if p not in ("params", "kernel")]
         hf = ".".join(W._flax_seg_to_hf(m) for m in mods)
         state[f"{prefix}.{hf}.lora_A.weight"] = np.asarray(pair["down"]).T
-        state[f"{prefix}.{hf}.lora_B.weight"] = np.asarray(pair["up"]).T
-    out = ckpt_dir / "pytorch_lora_weights.safetensors"
+        state[f"{prefix}.{hf}.lora_B.weight"] = (
+            np.asarray(pair["up"], np.float32) * alpha).T
     W.save_safetensors(state, out)
     (ckpt_dir / "lora_config.json").write_text(json.dumps(
-        {"r": rank, "lora_alpha": alpha, "base": prefix}, indent=2))
+        {"r": rank, "lora_alpha": rank, "base": prefix,
+         "note": "alpha folded into lora_B; apply with scaling 1.0"},
+        indent=2))
     return out
 
 
 def import_lora(path, base_params, prefix: str = "unet") -> dict:
     """Inverse of ``export_lora``: safetensors -> flax LoRA tree.
+
+    The returned pairs carry the fold-in from export (alpha baked into
+    ``up``), so apply them with ``alpha=1.0``.
 
     ``base_params`` (the UNet param tree) supplies the flax path for each
     exported module — hf dots don't encode flax segment boundaries, so the
@@ -175,9 +215,6 @@ def import_diffusers(model, model_dir, dtype=None) -> dict:
     SDXLModel's param dict (components present on disk only)."""
     model_dir = Path(model_dir)
     params: dict = {}
-
-    def template(init_fn):
-        return jax.eval_shape(init_fn)
 
     import jax.numpy as jnp
     if (model_dir / "unet").exists():

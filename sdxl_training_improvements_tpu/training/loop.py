@@ -18,9 +18,8 @@ compile per bucket resolution, then steady-state steps (SURVEY.md §7).
 """
 from __future__ import annotations
 
-import time
 from pathlib import Path
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +42,7 @@ from sdxl_training_improvements_tpu.training import checkpoints as C
 from sdxl_training_improvements_tpu.training.optimizers import make_optimizer
 from sdxl_training_improvements_tpu.training.schedules import NoiseSchedule
 from sdxl_training_improvements_tpu.training.trainer import (
-    TrainState, create_train_state, make_train_step, shard_batch,
-    shard_train_state)
+    TrainState, create_train_state, make_train_step, shard_train_state)
 
 
 class SDXLTrainer:
@@ -121,15 +119,32 @@ class SDXLTrainer:
         state = create_train_state(trainable, self.optimizer,
                                    seed=config.training.seed)
         resume = config.training.resume_from
+        self.best_loss = float("inf")
         if resume == "auto":
             ckpt = C.latest_checkpoint(self.output_dir)
         elif resume:
             ckpt = Path(resume)
+            if not (ckpt / "state").exists():
+                # an explicit resume target must not silently fall through
+                # to a fresh run that overwrites the output dir
+                raise FileNotFoundError(
+                    f"training.resume_from={str(ckpt)!r} has no 'state' "
+                    "subdirectory (not an Orbax checkpoint of this "
+                    "framework). Fix the path, or use resume_from: 'auto' "
+                    "to pick the latest checkpoint / start fresh.")
         else:
             ckpt = None
         if ckpt is not None and (Path(ckpt) / "state").exists():
             state = C.restore_train_state(ckpt, state)
             self.logger.info(f"Resumed from {ckpt} at step {int(state.step)}")
+            meta = Path(ckpt) / "trainer_state.json"
+            if meta.exists():  # restore best-loss tracking across restarts
+                try:
+                    import json as _json
+                    self.best_loss = float(
+                        _json.loads(meta.read_text())["best_loss"])
+                except Exception:
+                    pass
         if self.mesh is not None:
             state = shard_train_state(state, self.mesh,
                                       shard_params=config.tpu.shard_params)
@@ -139,7 +154,6 @@ class SDXLTrainer:
         global_batch = (config.training.batch_size
                         * max(1, config.training.gradient_accumulation_steps))
         self.throughput = ThroughputMonitor(batch_size=global_batch)
-        self.best_loss = float("inf")
 
     # ------------------------------------------------------------ builders
     def _load_model(self) -> SDXLModel:
@@ -244,6 +258,8 @@ class SDXLTrainer:
 
         with profiler_trace(self.config.tpu.profile_dir):
             for epoch in range(start_epoch, num_epochs):
+                if max_steps and step_count >= max_steps:
+                    break  # e.g. resumed at/over the cap: run NO extra step
                 epoch_losses = []  # device scalars; pulled at epoch end
                 batch_iter = batches_for_epoch(
                     ds, global_batch, epoch=epoch, seed=cfg.seed,
@@ -251,6 +267,8 @@ class SDXLTrainer:
                     shard=jax.process_index(),
                     proportion_empty_prompts=cfg.proportion_empty_prompts)
                 for batch in prefetch_to_device(batch_iter, self.mesh):
+                    if max_steps and step_count >= max_steps:
+                        break  # check BEFORE stepping, not after
                     self.throughput.start_batch()
                     self.state, metrics = self.train_step(self.state, batch)
                     step_count += 1
@@ -274,16 +292,21 @@ class SDXLTrainer:
                 epoch_loss = float(np.mean(epoch_losses)) if epoch_losses \
                     else float("nan")
                 self.logger.info(f"Epoch {epoch}: mean loss {epoch_loss:.5f}")
-                if M.is_main_process():
-                    if epoch_loss < self.best_loss:
-                        self.best_loss = epoch_loss
-                        self.save_checkpoint(tag="best")
-                    if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
-                        self.save_checkpoint(epoch=epoch)
+                # NOTE: save_checkpoint runs on EVERY process (the Orbax
+                # save of a sharded state is a collective); the decisions
+                # below are deterministic from replicated values, so all
+                # hosts take the same branches. Only the host-side exports
+                # inside save_checkpoint are rank-0-gated.
+                if epoch_loss < self.best_loss:
+                    self.best_loss = epoch_loss
+                    self.save_checkpoint(tag="best")
+                if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+                    self.save_checkpoint(epoch=epoch)
+                    if M.is_main_process():
                         self.run_validation_images()
                 if max_steps and step_count >= max_steps:
                     break
-        if M.is_main_process() and cfg.save_final_model:
+        if cfg.save_final_model:
             self.save_checkpoint(tag="final")
         return {k: float(v) for k, v in metrics.items()}
 
@@ -345,7 +368,16 @@ class SDXLTrainer:
                 else f"{tag}_checkpoint")
         path = self.output_dir / name
         self.logger.info(f"Saving checkpoint to {path}")
+        # Orbax save is a COLLECTIVE for sharded state: every process must
+        # call it; only the host-side artifact writes below are rank-0-only
         C.save_train_state(path, self.state, config=self.config)
+        if M.is_main_process():
+            import json as _json
+            (path / "trainer_state.json").write_text(_json.dumps(
+                {"best_loss": self.best_loss, "step": int(self.state.step)}))
+        # the export helpers are collective-safe: they gather sharded
+        # params on every process and write files on rank 0 only — so the
+        # remainder runs on all ranks too
         params = dict(self.model.params)
         if self.lora_apply is not None:
             # LoRA run: ship the adapter (diffusers pytorch_lora_weights
@@ -353,8 +385,7 @@ class SDXLTrainer:
             from sdxl_training_improvements_tpu.models.lora import lora_merge
             lcfg = self.config.training.lora
             lora_tree = self.eval_params()
-            C.export_lora(path, jax.tree.map(np.asarray, lora_tree),
-                          rank=lcfg.rank, alpha=lcfg.alpha)
+            C.export_lora(path, lora_tree, rank=lcfg.rank, alpha=lcfg.alpha)
             params["unet"] = lora_merge(self.model.trainable_params(),
                                         lora_tree, alpha=lcfg.alpha)
         else:

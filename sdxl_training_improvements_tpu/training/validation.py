@@ -123,14 +123,20 @@ class ValidationLogger:
         out_dir.mkdir(parents=True, exist_ok=True)
         paths = []
         wandb_payload = {}
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
         for i, (prompt, img) in enumerate(zip(self.prompts, images)):
             p = out_dir / f"{i:02d}.png"
-            try:
-                from PIL import Image
-                Image.fromarray(img).save(p)
-                paths.append(p)
-            except Exception:
-                pass
+            if Image is not None:
+                try:
+                    Image.fromarray(img).save(p)
+                    paths.append(p)
+                except OSError as e:  # disk full / unwritable dir: say so
+                    if self.logger is not None:
+                        self.logger.warning(
+                            f"validation image save failed for {p}: {e}")
             wandb_payload[f"validation/{i:02d}"] = img
         if self.logger is not None:
             self.logger.log_images(wandb_payload, step=step)

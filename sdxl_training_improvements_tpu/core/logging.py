@@ -197,12 +197,19 @@ class WandbLogger:
         self._run = None
         try:
             import wandb
-            self._wandb = wandb
+        except ImportError:
+            self._wandb = None  # not installed: documented silent no-op
+            return
+        self._wandb = wandb
+        try:
             self._run = wandb.init(project=project, entity=entity, name=name,
                                    config=config,
                                    resume="allow" if resume else None)
-        except Exception:
-            self._wandb = None
+        except Exception as e:
+            # the user ASKED for wandb; a dead run must not be silent
+            logging.getLogger(__name__).warning(
+                "wandb.init failed (%s): metrics will NOT reach wandb "
+                "for this run", e)
 
     @property
     def active(self) -> bool:
@@ -296,6 +303,7 @@ class UnifiedLogger:
 
         self.metrics = MetricsTracker(self.config.metrics_window)
         self.predictor = ProgressPredictor()
+        self.progress = ProgressTracker(enable=False)  # windowed step rate
         self.wandb = (WandbLogger(self.config.wandb_project,
                                   self.config.wandb_entity,
                                   self.config.wandb_run_name)
@@ -319,6 +327,7 @@ class UnifiedLogger:
     def update_progress(self, current: int, total: int = 0, n: int = 1,
                         extra: str = "") -> None:
         self.predictor.update(n)
+        self.progress.update(n)
         if current % max(self.config.log_every, 1) == 0 or current == total:
             avg = self.metrics.get_average("loss")
             loss_s = f" loss={avg:.4f}" if avg is not None else ""
@@ -357,11 +366,20 @@ class LogManager:
 
     def get(self, name: str, config: Optional[LogConfig] = None
             ) -> UnifiedLogger:
-        if name not in self.loggers:
-            cfg = config or LogConfig(name=name)
-            cfg.name = name
-            self.loggers[name] = UnifiedLogger(cfg)
-        return self.loggers[name]
+        with self._lock:  # registry reads/writes share the class lock
+            if name not in self.loggers:
+                cfg = config or LogConfig(name=name)
+                cfg.name = name
+                self.loggers[name] = UnifiedLogger(cfg)
+            elif config is not None:
+                existing = self.loggers[name]
+                if config != existing.config:
+                    existing.warning(
+                        f"setup_logging({name!r}): logger already exists; "
+                        "the new LogConfig is IGNORED (wandb/log_dir/levels "
+                        "keep their original values). Call "
+                        "cleanup_logging() first to reconfigure.")
+            return self.loggers[name]
 
     def cleanup(self) -> None:
         for lg in self.loggers.values():

@@ -23,6 +23,8 @@ class ThroughputMonitor:
     def __init__(self, window_size: int = 100, batch_size: int = 1):
         self.window_size = window_size
         self.batch_size = batch_size
+        # (duration, samples) per batch so per-call batch_size overrides
+        # feed the rate, not just the lifetime counter
         self.batch_times: deque = deque(maxlen=window_size)
         self._start: Optional[float] = None
         self.total_samples = 0
@@ -33,16 +35,19 @@ class ThroughputMonitor:
     def end_batch(self, batch_size: Optional[int] = None) -> None:
         if self._start is None:
             return
-        self.batch_times.append(time.perf_counter() - self._start)
-        self.total_samples += batch_size or self.batch_size
+        n = batch_size or self.batch_size
+        self.batch_times.append((time.perf_counter() - self._start, n))
+        self.total_samples += n
         self._start = None
 
     def get_metrics(self) -> Dict[str, float]:
         if not self.batch_times:
             return {}
-        mean_t = float(np.mean(self.batch_times))
+        total_t = float(sum(t for t, _ in self.batch_times))
+        total_n = sum(n for _, n in self.batch_times)
+        mean_t = total_t / len(self.batch_times)
         return {
-            "throughput/samples_per_sec": self.batch_size / mean_t,
+            "throughput/samples_per_sec": total_n / total_t,
             "throughput/batch_time_ms": mean_t * 1000.0,
             "throughput/steps_per_sec": 1.0 / mean_t,
         }

@@ -79,21 +79,29 @@ class TokenizerPair:
 
 
 def load_tokenizers(model_dir, max_length: int = 77) -> TokenizerPair:
-    """Load from a diffusers checkpoint dir; HashTokenizer fallback when the
-    dirs or transformers are unavailable."""
+    """Load from a diffusers checkpoint dir.
+
+    Fallback policy: the HashTokenizer stand-in is only acceptable when the
+    checkpoint simply has no tokenizer directories (from-scratch runs).
+    A tokenizer dir that EXISTS but fails to load raises — silently hashing
+    captions against pretrained CLIP embeddings would train on garbage ids
+    while the loss looks perfectly normal.
+    """
+    import logging
     model_dir = Path(model_dir)
-    try:
-        from transformers import CLIPTokenizer, CLIPTokenizerFast
-        toks = []
-        for sub in ("tokenizer", "tokenizer_2"):
-            d = model_dir / sub
-            if not d.exists():
-                raise FileNotFoundError(d)
-            try:
-                tok = CLIPTokenizerFast.from_pretrained(str(d))
-            except Exception:
-                tok = CLIPTokenizer.from_pretrained(str(d))
-            toks.append(HFTokenizer(tok, max_length))
-        return TokenizerPair(*toks)
-    except Exception:
+    dirs = [model_dir / "tokenizer", model_dir / "tokenizer_2"]
+    if not all(d.exists() for d in dirs):
+        logging.getLogger(__name__).warning(
+            "no tokenizer/ + tokenizer_2/ under %s - using the hash "
+            "tokenizer stand-in (fine for random-init runs, WRONG for "
+            "pretrained CLIP weights)", model_dir)
         return TokenizerPair.fallback(max_length=max_length)
+    from transformers import CLIPTokenizer, CLIPTokenizerFast
+    toks = []
+    for d in dirs:
+        try:
+            tok = CLIPTokenizerFast.from_pretrained(str(d))
+        except Exception:
+            tok = CLIPTokenizer.from_pretrained(str(d))  # raises loudly
+        toks.append(HFTokenizer(tok, max_length))
+    return TokenizerPair(*toks)

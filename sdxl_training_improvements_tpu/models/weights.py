@@ -110,7 +110,11 @@ def hf_to_flax_params(template, state: Dict[str, np.ndarray], prefix: str = "",
         full = prefix + hf_key
         if full not in state:
             missing.append(full)
-            leaves.append(tmpl)
+            # materialise a real array for the lenient path: templates are
+            # usually eval_shape ShapeDtypeStructs, which would otherwise
+            # corrupt the returned tree and crash far away at apply()
+            leaves.append(tmpl if hasattr(tmpl, "block_until_ready")
+                          else jnp.zeros(tmpl.shape, dtype or tmpl.dtype))
             continue
         arr = _hf_from_leaf(full, np.asarray(state[full]), leaf)
         if tuple(arr.shape) != tuple(tmpl.shape):
@@ -172,8 +176,23 @@ def load_safetensors_dir(model_dir) -> Dict[str, np.ndarray]:
     if not files:
         raise FileNotFoundError(f"no safetensors files in {model_dir}")
     state: Dict[str, np.ndarray] = {}
+    owner: Dict[str, str] = {}
     for f in files:
-        state.update(load_file(str(f)))
+        part = load_file(str(f))
+        dup = set(part) & set(state)
+        if dup:
+            # precision-variant snapshots (model.safetensors +
+            # model.fp16.safetensors) carry the SAME keys — silently
+            # letting sort order pick a winner loads whichever variant
+            # happens to sort last
+            k = next(iter(dup))
+            raise ValueError(
+                f"duplicate tensor keys across safetensors files in "
+                f"{model_dir}: e.g. {k!r} in both {owner[k]} and {f.name}. "
+                "Keep a single precision variant per component directory.")
+        state.update(part)
+        for k in part:
+            owner[k] = f.name
     return state
 
 
@@ -193,8 +212,18 @@ _CLIP_PREFIX = "text_model."
 
 
 def _clip_flax_to_hf(params, with_projection: bool) -> Dict[str, np.ndarray]:
-    """CLIP needs HF's ``text_model.``/``embeddings.`` scoping."""
+    """CLIP needs HF's ``text_model.``/``embeddings.`` scoping.
+
+    ``with_projection`` is a consistency check, not a switch: the
+    projection key is emitted iff present in the tree, and a mismatch with
+    the caller's expectation raises (text_encoder_2 without its projection
+    would export a broken SDXL checkpoint)."""
     raw = flax_to_hf_state(params)
+    has_proj = any(k.startswith("text_projection") for k in raw)
+    if with_projection != has_proj:
+        raise ValueError(
+            f"with_projection={with_projection} but the param tree "
+            f"{'has' if has_proj else 'lacks'} a text_projection kernel")
     out = {}
     for k, v in raw.items():
         if k.startswith("text_projection"):

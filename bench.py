@@ -3,27 +3,35 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
 
 What the reference actually times is the FULL step — fwd+bwd+clip+optimizer
-(``ddpm_trainer.py:154-168``) — so that is the headline metric here:
+(``ddpm_trainer.py:154-168``) — so that is what every row here composes:
 
 * **fwd+bwd** — SDXL UNet at 1024^2-equivalent latents (128x128x4), bf16,
-  v-prediction ZTSNR loss with MinSNR weighting + global-norm computation,
-  measured directly (remat off and on).
-* **optimizer** — the real bf16-SR AdamW update (``adamw_bf16``, donation
-  on) over ALL 2.567B params, measured at full scale in K resident chunks:
-  params+grads+3x state for the whole model is ~26 GB, which exceeds this
-  dev chip's 16 GB HBM (production target is v5p 95GB), and the tunneled
-  host<->device link measures ~0.5 GB/s H2D with far slower D2H, ruling out
-  streaming/offload here.  The update is elementwise (HBM-bandwidth-bound,
-  perfectly linear in params), so the sum of chunk times equals the
-  full-tree update time on a chip that fits it.
-* **full step** = t_fwd_bwd + t_optimizer (clip's scale-multiply is folded
-  into the optimizer's elementwise pass; the norm itself is timed inside
-  fwd+bwd).  The composition is declared in the JSON ("composition" field).
+  v-prediction ZTSNR loss with MinSNR weighting + global-norm computation.
+* **optimizer** — the real bf16-SR AdamW update (``adamw_bf16``, flat-state
+  + fused-hash-noise production path, donation on) over ALL 2.567B params,
+  measured at full scale in K resident chunks: params+grads+3x state for
+  the whole model is ~26 GB, which exceeds this dev chip's 16 GB HBM
+  (production target is v5p 95GB), and the tunneled host<->device link
+  rules out streaming/offload here.  The update is elementwise
+  (HBM-bandwidth-bound, perfectly linear in params), so the sum of chunk
+  times equals the full-tree update time on a chip that fits it.
+* **full step** = t_fwd_bwd + t_optimizer / grad_accum (one update per
+  ``accum`` micro-batches — the reference's recipe, ``config.yaml:26-33``).
+
+The JSON carries a ``configs`` array with one row per measured workload
+(round-3 verdict #10): the reference's own default workload
+batch 4 x accum 4, and the fastest single-chip composition batch 1 x
+accum 4, each with its resolved attention implementation and MFU (XLA
+cost-analysis FLOPs over the measured time, against the chip's bf16 peak).
 
 Baseline: the reference publishes no numbers (BASELINE.md).  vs_baseline
 uses 1.15 samples/s — community-measured A100-80GB torch2+xformers SDXL
-full fine-tune at 1024^2 batch 1 sits at ~1.0-1.3 it/s; the source and its
-error bar are recorded in the JSON (``baseline_source``).
+full fine-tune at 1024^2 batch 1 (~1.0-1.3 it/s).  Methodology (recorded
+in ``baseline_source``): every vs_baseline divides that row's full-step
+samples/s — optimizer amortized over the row's grad-accum, exactly as both
+frameworks run it — by the A100 batch-1 full-step figure;
+``no_accum_full_step_samples_per_s`` is also reported for the strictest
+accum-free comparison (round-2 advisor finding on mixed methodology).
 """
 from __future__ import annotations
 
@@ -35,10 +43,26 @@ import jax
 import jax.numpy as jnp
 
 A100_BASELINE_SAMPLES_PER_S = 1.15
-BASELINE_SOURCE = ("community-measured A100-80GB torch2+xformers SDXL "
-                   "1024^2 batch-1 full fine-tune ~1.0-1.3 it/s; reference "
-                   "repo publishes no numbers (BASELINE.md) — error bar "
-                   "+-15%")
+BASELINE_SOURCE = (
+    "community-measured A100-80GB torch2+xformers SDXL 1024^2 batch-1 full "
+    "fine-tune ~1.0-1.3 it/s; reference repo publishes no numbers "
+    "(BASELINE.md) — error bar +-15%. vs_baseline = row full-step "
+    "samples/s (optimizer amortized over the row's grad_accum(4), the "
+    "recipe both frameworks run) / 1.15; no_accum_full_step_samples_per_s "
+    "gives the accum-free composition")
+
+# bf16 peak FLOP/s per chip, matched by device_kind substring (first hit)
+PEAK_FLOPS = (("v5 lite", 197e12), ("v5litepod", 197e12), ("v5e", 197e12),
+              ("v6 lite", 918e12), ("v6e", 918e12),
+              ("v5p", 459e12), ("v5", 459e12), ("v4", 275e12))
+
+
+def _chip_peak_flops():
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for sub, peak in PEAK_FLOPS:
+        if sub in kind:
+            return peak, kind
+    return None, kind
 
 
 def time_fn(fn, *args, steps=10, warmup=3):
@@ -53,8 +77,9 @@ def time_fn(fn, *args, steps=10, warmup=3):
     return (time.perf_counter() - start) / steps
 
 
-def bench_fwd_bwd(cfg, batch, hw, steps, warmup):
-    """fwd+bwd+grad-norm at full resolution; returns seconds/step."""
+def bench_fwd_bwd(cfg, batch, hw, steps, warmup, want_flops=False):
+    """fwd+bwd+grad-norm at full resolution; returns seconds/step
+    (or (seconds, flops) with ``want_flops``)."""
     from sdxl_training_improvements_tpu.config import Config
     from sdxl_training_improvements_tpu.models.unet import SDXLUNet
     from sdxl_training_improvements_tpu.training.methods import get_method
@@ -94,11 +119,21 @@ def bench_fwd_bwd(cfg, batch, hw, steps, warmup):
 
     key = jax.random.key(0)
     sec = time_fn(lambda: fwd_bwd(params, key), steps=steps, warmup=warmup)
+    flops = None
+    if want_flops:
+        try:
+            cost = fwd_bwd.lower(params, key).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
     del params
-    return sec
+    return (sec, flops) if want_flops else sec
 
 
-def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2):
+def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
+                               make_opt=None):
     """The real adamw_bf16 update over every param of the full model,
     measured in resident chunks (elementwise op -> chunk times sum exactly).
     Returns (seconds/step for the whole tree, param_count)."""
@@ -127,7 +162,10 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2):
         buckets[j].append(i)
         loads[j] += leaves[i].size * leaves[i].dtype.itemsize
 
-    opt = adamw_bf16(lr=4e-7, weight_decay=0.01)
+    # production default: flat state + fused-hash noise (the measured fast
+    # path; tools/measure_r3.py A/Bs the variants)
+    opt = (make_opt() if make_opt is not None
+           else adamw_bf16(lr=4e-7, weight_decay=0.01, flat_state=True))
     total_sec = 0.0
     for bucket in buckets:
         sub_shapes = {str(i): leaves[i] for i in bucket}
@@ -164,85 +202,211 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2):
     return total_sec, total_params
 
 
+def bench_soap_full_scale(cfg, hw, n_chunks=4):
+    """Opt-in (SDXL_BENCH_SOAP=1): SOAP over the full UNet tree — AOT
+    compile time for the WHOLE tree in one program (the ~1300-leaf
+    compile-scalability question), then chunked execution for step and
+    QR-refresh-step times (full fp32 SOAP state exceeds this dev chip's
+    HBM; same chunk-sum argument as the AdamW bench).  Returns a dict.
+    Ref: ``/root/reference/src/training/optimizers/soap/__init__.py:236-480``."""
+    import optax
+    from sdxl_training_improvements_tpu.models.unet import SDXLUNet
+    from sdxl_training_improvements_tpu.training.optimizers import soap
+
+    model = SDXLUNet(config=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0),
+        jnp.zeros((1, cfg.in_channels, hw, hw), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16),
+        jnp.zeros((1, cfg.pooled_embed_dim), jnp.bfloat16),
+        jnp.zeros((1, 6), jnp.float32))
+    shapes = jax.tree.map(  # SOAP preconditions fp32 trees
+        lambda l: jax.ShapeDtypeStruct(l.shape, jnp.float32), shapes)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    opt = soap(lr=1e-3, precondition_frequency=10, merge_dims=True)
+
+    def step_fn(p, s, g):
+        upd, s2 = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s2
+
+    out = {"soap_leaves": len(leaves)}
+    # 1) full-tree AOT compile (no buffers allocated)
+    full = jax.tree_util.tree_unflatten(treedef, leaves)
+    state_shape = jax.eval_shape(opt.init, full)
+    t0 = time.perf_counter()
+    jax.jit(step_fn).lower(full, state_shape, full).compile()
+    out["soap_full_tree_compile_s"] = round(time.perf_counter() - t0, 1)
+
+    # 2) chunked execution: plain step + refresh step
+    order = sorted(range(len(leaves)), key=lambda i: -leaves[i].size)
+    buckets = [[] for _ in range(n_chunks)]
+    loads = [0] * n_chunks
+    for i in order:
+        j = loads.index(min(loads))
+        buckets[j].append(i)
+        loads[j] += leaves[i].size
+    t_step = t_refresh = 0.0
+    for bucket in buckets:
+        sub = {str(i): leaves[i] for i in bucket}
+
+        @jax.jit
+        def make(key):
+            return {k: (0.02 * jax.random.normal(
+                jax.random.fold_in(key, int(n)), s.shape)).astype(s.dtype)
+                for n, (k, s) in enumerate(sub.items())}
+
+        p = make(jax.random.key(1))
+        g = make(jax.random.key(2))
+        s = jax.jit(opt.init)(p)
+        stepj = jax.jit(step_fn, donate_argnums=(0, 1))
+        p, s = stepj(p, s, g)   # install step (step=1), also warms compile
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        p, s = stepj(p, s, g)   # plain Adam-in-eigenbasis step
+        jax.block_until_ready(p)
+        t_step += time.perf_counter() - t0
+        while (int(jax.device_get(s.step)) + 1) % 10 != 0:
+            p, s = stepj(p, s, g)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        p, s = stepj(p, s, g)   # this step takes the QR-refresh branch
+        jax.block_until_ready(p)
+        t_refresh += time.perf_counter() - t0
+        del p, g, s
+    out["soap_step_ms"] = round(t_step * 1e3, 1)
+    out["soap_refresh_step_ms"] = round(t_refresh * 1e3, 1)
+    return out
+
+
 def main():
     import os
+    # persistent compile cache: a repeat bench run (or one primed by
+    # tools/measure_r3.py) skips the slow remote compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     on_tpu = jax.default_backend() != "cpu"
     from sdxl_training_improvements_tpu.models.unet import UNetConfig
-
-    if on_tpu:
-        cfg = UNetConfig.sdxl(remat=False)
-        cfg_remat = UNetConfig.sdxl(remat=True)
-        batch, hw, steps, warmup, chunks = 1, 128, 10, 3, 3
-    else:  # CPU smoke fallback so the script always emits a line
-        cfg = UNetConfig.tiny()
-        cfg_remat = UNetConfig.tiny(remat=True)
-        batch, hw, steps, warmup, chunks = 1, 16, 3, 1, 2
-
-    accum = 4  # the reference's default grad-accum (config.yaml:26-45):
-    # one optimizer step per `accum` fwd+bwd micro-steps, so the update
-    # cost amortizes — this is the workload the reference actually runs
+    from sdxl_training_improvements_tpu.ops import attention as A
 
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    log("phase 1/3: fwd+bwd (remat off) compile+measure ...")
-    t_fb = bench_fwd_bwd(cfg, batch, hw, steps, warmup)
-    log(f"fwd+bwd: {t_fb*1e3:.1f} ms/step")
+    accum = 4  # the reference's default grad-accum (config.yaml:26-33)
+    peak, chip = _chip_peak_flops() if on_tpu else (None, "cpu")
 
-    result = {
-        "fwd_bwd_samples_per_s": round(batch / t_fb, 4),
-        "baseline_source": BASELINE_SOURCE,
-    }
-    metric = ("sdxl_1024sq_full_train_step_samples_per_s_per_chip"
-              if on_tpu else "tiny_unet_cpu_smoke_full_step_samples_per_s")
+    if on_tpu:
+        hw, steps, warmup, chunks = 128, 10, 3, 3
+        # workload configs chosen by the round-3 sweep
+        # (outputs/measure_r3.json): batch 4 runs without full remat once
+        # attention is bounded-memory ("auto" resolves to chunked/flash);
+        # dots_nobatch keeps projection/conv matmul outputs.
+        workloads = [
+            ("batch4_accum4_reference_default",
+             dict(batch=4, remat=True, remat_policy="dots_nobatch",
+                  attn_impl="auto")),
+            ("batch1_accum4_fastest_single_chip",
+             dict(batch=1, remat=False, remat_policy="full",
+                  attn_impl="auto")),
+        ]
+    else:  # CPU smoke fallback so the script always emits a line
+        hw, steps, warmup, chunks = 16, 3, 1, 2
+        workloads = [
+            ("batch1_accum4_cpu_smoke",
+             dict(batch=1, remat=False, remat_policy="full",
+                  attn_impl="xla")),
+        ]
 
+    mkcfg = UNetConfig.sdxl if on_tpu else UNetConfig.tiny
+
+    log("optimizer phase: full-scale bf16-SR update (flat/hash, chunked)...")
+    t_opt = n_params = None
+    opt_err = None
     try:
-        log("phase 2/3: full-scale bf16-SR optimizer update (chunked) ...")
-        t_opt, n_params = bench_optimizer_full_scale(cfg, hw,
-                                                     n_chunks=chunks)
-        log(f"optimizer: {t_opt*1e3:.1f} ms/step over {n_params} params")
-        # per-sample time with the reference's grad accumulation:
-        # accum micro fwd+bwd steps share one optimizer update
-        t_full = t_fb + t_opt / accum
-        result.update({
-            "optimizer_ms": round(t_opt * 1e3, 2),
-            "optimizer_params": n_params,
-            "no_accum_full_step_samples_per_s": round(
-                batch / (t_fb + t_opt), 4),
-            "composition": "fwd_bwd(+grad-norm) + bf16-SR-AdamW update/"
-                           f"grad_accum({accum}, reference default); update "
-                           f"measured at full scale in {chunks} resident "
-                           "chunks (elementwise, times sum exactly); full "
-                           "state exceeds this 16GB dev chip, target is v5p",
-        })
-    except Exception as e:  # partial result beats no result
-        log(f"optimizer phase failed: {e!r}; reporting fwd+bwd only")
-        result["composition"] = f"fwd_bwd only (optimizer bench failed: {e})"
-        metric = ("sdxl_unet_1024sq_train_fwd_bwd_samples_per_s_per_chip"
-                  if on_tpu else "tiny_unet_cpu_smoke_samples_per_s")
-        t_full = t_fb
+        t_opt, n_params = bench_optimizer_full_scale(
+            mkcfg(), hw, n_chunks=chunks)
+        log(f"optimizer: {t_opt*1e3:.1f} ms over {n_params} params")
+    except Exception as e:
+        opt_err = repr(e)
+        log(f"optimizer phase failed: {opt_err}")
 
-    # remat-on datapoint is optional (the remat backward compiles very
-    # slowly through the dev tunnel's remote-compile relay)
-    if os.environ.get("SDXL_BENCH_REMAT", "0" if on_tpu else "1") == "1":
-        log("phase 3/3: fwd+bwd (remat on) ...")
+    rows = []
+    for name, w in workloads:
+        cfg = mkcfg(remat=w["remat"], remat_policy=w["remat_policy"],
+                    attn_impl=w["attn_impl"])
+        batch = w["batch"]
+        # resolved attention impl at the dominant self-attn site (S=4096
+        # at 1024^2, 10 heads in the 640-ch stage)
+        resolved = A.resolve_impl(w["attn_impl"], batch, (hw // 2) ** 2,
+                                  (hw // 2) ** 2, 10)
+        log(f"workload {name}: fwd+bwd (attention={resolved}) ...")
         try:
-            t_fb_remat = bench_fwd_bwd(cfg_remat, batch, hw, steps, warmup)
-            result["fwd_bwd_remat_samples_per_s"] = round(
-                batch / t_fb_remat, 4)
+            t_fb, flops = bench_fwd_bwd(cfg, batch, hw, steps, warmup,
+                                        want_flops=True)
         except Exception as e:
-            log(f"remat phase failed: {e!r}")
-    else:
-        log("phase 3/3: skipped (set SDXL_BENCH_REMAT=1 to include)")
+            log(f"workload {name} failed: {e!r}")
+            rows.append({"name": name, "error": repr(e)[:300]})
+            continue
+        log(f"  fwd+bwd: {t_fb*1e3:.1f} ms ({batch / t_fb:.3f} samples/s)")
+        row = {
+            "name": name,
+            "batch": batch,
+            "grad_accum": accum,
+            "attention_impl": resolved,
+            "remat": w["remat_policy"] if w["remat"] else "off",
+            "fwd_bwd_ms": round(t_fb * 1e3, 1),
+            "fwd_bwd_samples_per_s": round(batch / t_fb, 4),
+        }
+        if t_opt is not None:
+            t_full = t_fb + t_opt / accum
+            row["samples_per_s"] = round(batch / t_full, 4)
+            row["no_accum_full_step_samples_per_s"] = round(
+                batch / (t_fb + t_opt), 4)
+            row["vs_baseline"] = round(
+                row["samples_per_s"] / A100_BASELINE_SAMPLES_PER_S, 4)
+        if flops and peak:
+            row["mfu"] = round(flops / t_fb / peak, 4)
+            row["tflop_per_step"] = round(flops / 1e12, 2)
+        rows.append(row)
 
-    samples_per_s = batch / t_full
-    print(json.dumps({
-        "metric": metric,
-        "value": round(samples_per_s, 4),
+    extra_soap = {}
+    if os.environ.get("SDXL_BENCH_SOAP", "0") == "1":
+        log("SOAP phase (opt-in) ...")
+        try:
+            extra_soap = bench_soap_full_scale(mkcfg(), hw)
+            log(f"  {extra_soap}")
+        except Exception as e:
+            extra_soap = {"soap_error": repr(e)[:300]}
+
+    ok_rows = [r for r in rows if "samples_per_s" in r]
+    headline = ok_rows[0] if ok_rows else None
+    result = {
+        "metric": ("sdxl_1024sq_full_train_step_samples_per_s_per_chip"
+                   if on_tpu else "tiny_unet_cpu_smoke_samples_per_s"),
+        "value": headline["samples_per_s"] if headline else (
+            rows[0].get("fwd_bwd_samples_per_s", 0.0) if rows else 0.0),
         "unit": "samples/s/chip",
-        "vs_baseline": round(samples_per_s / A100_BASELINE_SAMPLES_PER_S, 4),
-        **result,
-    }))
+        "vs_baseline": headline.get("vs_baseline") if headline else None,
+        "headline_workload": headline["name"] if headline else None,
+        "attention_impl": headline["attention_impl"] if headline else None,
+        "chip": chip,
+        "optimizer_ms": round(t_opt * 1e3, 2) if t_opt else opt_err,
+        "optimizer_params": n_params,
+        "optimizer_variant": "adamw_bf16 flat_state + fused hash noise",
+        "configs": rows,
+        "composition": (
+            f"per row: fwd_bwd(+grad-norm) + bf16-SR-AdamW update/"
+            f"grad_accum({accum}, reference default); update measured at "
+            f"full scale in {chunks} resident chunks (elementwise, times "
+            "sum exactly); full state exceeds a 16GB dev chip, target v5p"),
+        "baseline_source": BASELINE_SOURCE,
+        **extra_soap,
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -67,7 +67,11 @@ class OptimizerConfig:
     shampoo_beta: float = 0.95
     max_precond_dim: int = 10000
     precondition_1d: bool = False
-    merge_dims: bool = False
+    # default True (reference default is False, ``src/data/config.py:61``):
+    # without merging, a conv kernel [3,3,in,out] gets useless 3x3 axis
+    # preconditioners; merged [9*in, out] is the shape SOAP's math wants.
+    # Explicit YAML values still win.
+    merge_dims: bool = True
     normalize_grads: bool = False
     data_format: str = "channels_first"
 
@@ -180,6 +184,29 @@ class CacheConfig:
     use_cache: bool = True
     cache_latents: bool = True
     cache_text_embeddings: bool = True
+    # multi-host cache layout: False (default) = one cache shared by every
+    # host (shared filesystem); True = each host precomputes and reads its
+    # own static partition under <cache_dir>/host-NNN (host-local disks) —
+    # the dataset is dealt per-bucket round-robin so per-host batch counts
+    # stay exactly equal (data/dataset.py::partition_for_host).
+    partitioned: bool = False
+
+    @property
+    def persistent(self) -> bool:
+        """Whether the precompute cache persists on disk across runs.
+
+        The reference's ``cache_latents=false`` means "encode inside
+        __getitem__ every epoch" (``src/data/dataset.py:166-195``) — putting
+        VAE/CLIP dispatches in the per-step input path, a TPU anti-pattern
+        this framework deliberately does not carry.  Here the staged
+        precompute ALWAYS runs (encode-then-cache before the first batch
+        touch); these knobs control persistence instead: any of them false
+        -> the cache lives in a per-run temp directory deleted at exit, so
+        nothing persists — the closest TPU-native semantics to the
+        reference's cache-less mode (crops/flips are fixed per run, not
+        re-rolled per epoch; data/dataset.py documents the difference)."""
+        return bool(self.use_cache and self.cache_latents
+                    and self.cache_text_embeddings)
 
 
 @dataclass
@@ -252,9 +279,29 @@ class TPUConfig:
     # recomputes the S^2 attention logits; plain "dots" keeps the logits
     # too and OOMs 16GB chips at 1024^2
     remat_policy: str = "full"
-    use_pallas_attention: bool = True
+    # attention implementation (ops/attention.py): "auto" = Pallas flash
+    # when the Mosaic probe reports native execution, bounded-memory chunked
+    # XLA when the fp32 score tensor is huge, monolithic XLA otherwise;
+    # or pin one of "xla" | "chunked" | "flash".
+    attention_impl: str = "auto"
+    # flat optimizer state (adamw_bf16 only): pack bf16 leaves into a few
+    # contiguous buffers so the update runs as large fused passes.  "auto"
+    # enables it whenever params are replicated (no fsdp/tensor sharding,
+    # where per-leaf sharding rules must apply); "on"/"off" force.
+    flat_optimizer: str = "auto"
     donate_state: bool = True
     profile_dir: Optional[str] = None
+
+    def __post_init__(self):
+        if self.attention_impl not in ("auto", "xla", "chunked", "flash"):
+            raise ValueError(
+                f"tpu.attention_impl must be one of auto|xla|chunked|flash, "
+                f"got {self.attention_impl!r}")
+        if str(self.flat_optimizer).lower() not in ("auto", "on", "off",
+                                                    "true", "false"):
+            raise ValueError(
+                f"tpu.flat_optimizer must be one of auto|on|off, "
+                f"got {self.flat_optimizer!r}")
 
 
 @dataclass
@@ -277,8 +324,20 @@ class Config:
 
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        raw = dict(raw or {})
+        # round-2 compat: tpu.use_pallas_attention (bool) predates the
+        # four-way tpu.attention_impl knob — translate instead of silently
+        # ignoring a knob that used to do something
+        tpu_raw = raw.get("tpu")
+        if isinstance(tpu_raw, dict) and "use_pallas_attention" in tpu_raw:
+            tpu_raw = dict(tpu_raw)
+            legacy = tpu_raw.pop("use_pallas_attention")
+            tpu_raw.setdefault("attention_impl",
+                               "auto" if legacy else "xla")
+            raw["tpu"] = tpu_raw
         cfg = cls()
         _merge_into_dataclass(cfg, raw or {})
+        TPUConfig.__post_init__(cfg.tpu)  # re-validate merged values
         return cfg
 
     @classmethod

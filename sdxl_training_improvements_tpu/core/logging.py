@@ -366,24 +366,48 @@ class LogManager:
 
     def get(self, name: str, config: Optional[LogConfig] = None
             ) -> UnifiedLogger:
-        with self._lock:  # registry reads/writes share the class lock
-            if name not in self.loggers:
-                cfg = config or LogConfig(name=name)
-                cfg.name = name
-                self.loggers[name] = UnifiedLogger(cfg)
-            elif config is not None:
-                existing = self.loggers[name]
-                if config != existing.config:
-                    existing.warning(
-                        f"setup_logging({name!r}): logger already exists; "
-                        "the new LogConfig is IGNORED (wandb/log_dir/levels "
-                        "keep their original values). Call "
-                        "cleanup_logging() first to reconfigure.")
-            return self.loggers[name]
+        # UnifiedLogger construction can run wandb.init (network calls with
+        # retries) — it must NOT happen under the class-wide lock or every
+        # other thread's get_logger/setup_logging blocks for the duration.
+        # Protocol: reserve the name under the lock with an Event, build
+        # outside it, publish under the lock; concurrent callers for the
+        # same name wait on the Event.
+        while True:
+            with self._lock:
+                entry = self.loggers.get(name)
+                if isinstance(entry, UnifiedLogger):
+                    if config is not None and config != entry.config:
+                        entry.warning(
+                            f"setup_logging({name!r}): logger already "
+                            "exists; the new LogConfig is IGNORED "
+                            "(wandb/log_dir/levels keep their original "
+                            "values). Call cleanup_logging() first to "
+                            "reconfigure.")
+                    return entry
+                if entry is None:
+                    reservation = threading.Event()
+                    self.loggers[name] = reservation
+                    break
+            entry.wait()  # another thread is constructing this name
+        try:
+            cfg = config or LogConfig(name=name)
+            cfg.name = name
+            built = UnifiedLogger(cfg)
+        except BaseException:
+            with self._lock:  # release the reservation; waiters retry
+                if self.loggers.get(name) is reservation:
+                    del self.loggers[name]
+            reservation.set()
+            raise
+        with self._lock:
+            self.loggers[name] = built
+        reservation.set()
+        return built
 
     def cleanup(self) -> None:
         for lg in self.loggers.values():
-            lg.finish()
+            if isinstance(lg, UnifiedLogger):  # skip in-flight reservations
+                lg.finish()
         self.loggers.clear()
 
 

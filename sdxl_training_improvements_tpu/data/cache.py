@@ -38,6 +38,20 @@ def _atomic_write(path: Path, write_tmp) -> None:
     os.replace(tmp, path)
 
 
+def _portable(arr) -> np.ndarray:
+    """Coerce to an npz-round-trippable numpy dtype.
+
+    bf16 encoders produce ml_dtypes.bfloat16 arrays; np.savez writes their
+    raw bytes but np.load reads them back as void ``|V2`` — a permanently
+    poisoned cache entry that crashes device_put at batch time.  Cache
+    storage is float32 for such dtypes (bf16 values are exact in fp32;
+    the train step re-casts to its compute dtype anyway)."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind not in "fiub" or arr.dtype.name == "bfloat16":
+        return arr.astype(np.float32)
+    return arr
+
+
 def _atomic_npz(path: Path, **arrs) -> None:
     # np.savez appends ".npz" to bare paths; hand it an open file object so
     # the tmp name is exactly what os.replace moves
@@ -125,12 +139,12 @@ class CacheManager:
                 "save_latents: prompt_embeds given without "
                 "pooled_prompt_embeds (both or neither)")
         _atomic_npz(self.vae_dir / f"{key}.npz",
-                    vae_latents=np.asarray(vae_latents),
-                    time_ids=np.asarray(time_ids))
+                    vae_latents=_portable(vae_latents),
+                    time_ids=_portable(time_ids))
         if has_clip:
             _atomic_npz(self.clip_dir / f"{key}.npz",
-                        prompt_embeds=np.asarray(prompt_embeds),
-                        pooled_prompt_embeds=np.asarray(pooled_prompt_embeds))
+                        prompt_embeds=_portable(prompt_embeds),
+                        pooled_prompt_embeds=_portable(pooled_prompt_embeds))
         meta = dict(metadata or {})
         meta_path = self.meta_dir / f"{key}.json"
         _atomic_write(meta_path, lambda tmp: tmp.write_text(json.dumps(meta)))
@@ -160,6 +174,12 @@ class CacheManager:
                 with np.load(clip_path) as z:
                     out["prompt_embeds"] = z["prompt_embeds"]
                     out["pooled_prompt_embeds"] = z["pooled_prompt_embeds"]
+            for v in out.values():
+                if v.dtype.kind not in "fiub":
+                    # entry written by a pre-round-3 build with bf16
+                    # encoders: npz read it back as void — treat as a miss
+                    # so precompute/verify re-encodes it (see _portable)
+                    return None
             meta_path = self.meta_dir / f"{key}.json"
             out["metadata"] = (json.loads(meta_path.read_text())
                                if meta_path.exists() else {})
@@ -194,22 +214,37 @@ class CacheManager:
         with self._lock:
             keys = list(self.index)
             clip_flags = {k: self.index[k].get("clip") for k in keys}
-        bad = []
+        bad = {}  # key -> vae-file mtime_ns observed at validation (or None)
         for key in keys:
-            ok = (self.vae_dir / f"{key}.npz").exists()
+            vae_path = self.vae_dir / f"{key}.npz"
+            try:
+                mtime = vae_path.stat().st_mtime_ns
+            except OSError:
+                mtime = None
+            ok = mtime is not None
             if ok and clip_flags[key]:
                 ok = (self.clip_dir / f"{key}.npz").exists()
             if ok:
                 try:
-                    with np.load(self.vae_dir / f"{key}.npz") as z:
+                    with np.load(vae_path) as z:
                         _ = z["vae_latents"].shape
                 except Exception:
                     ok = False
             if not ok:
-                bad.append(key)
+                bad[key] = mtime
         with self._lock:
             pruned = 0
-            for key in bad:
+            for key, seen_mtime in bad.items():
+                # a concurrent save_latents may have (re)written this entry
+                # between the snapshot validation above and now — the writes
+                # are atomic replaces, so a changed/appeared mtime means a
+                # fresh valid entry that must NOT be pruned
+                try:
+                    cur_mtime = (self.vae_dir / f"{key}.npz").stat().st_mtime_ns
+                except OSError:
+                    cur_mtime = None
+                if cur_mtime is not None and cur_mtime != seen_mtime:
+                    continue
                 if self.index.pop(key, None) is not None:
                     pruned += 1
                 for d, suffix in ((self.vae_dir, ".npz"),

@@ -16,6 +16,7 @@ Batch contract matches the reference trainers (``ddpm_trainer.py:284-296``):
 from __future__ import annotations
 
 import collections
+from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -374,17 +375,103 @@ class AspectBucketDataset:
                                   shuffle=shuffle, seed=seed,
                                   num_shards=num_shards, shard=shard)
 
+    # ------------------------------------------------- multi-host partition
+    def partition_for_host(self, num_shards: int, shard: int
+                           ) -> "AspectBucketDataset":
+        """Static per-host partition for the partitioned-cache layout
+        (``global_config.cache.partitioned``; ROADMAP #4).
+
+        Each bucket's index list is truncated to a multiple of
+        ``num_shards`` and dealt round-robin, so every host holds exactly
+        ``len(bucket)//num_shards`` images per bucket — per-host batch
+        counts are then equal by construction (the multi-host integrity
+        gate still verifies this at runtime).  Unlike the sampler's
+        per-epoch sharding, this assignment is STATIC across epochs: with
+        host-local caches an image must live where it was precomputed.
+        Shuffling still happens per epoch *within* the host's shard.
+        In-place; returns self.  Idempotent guard via ``_partition``.
+        """
+        if num_shards <= 1:
+            return self
+        if getattr(self, "_partition", None) is not None:
+            if self._partition != (num_shards, shard):
+                raise ValueError(
+                    f"dataset already partitioned as {self._partition}, "
+                    f"cannot re-partition as {(num_shards, shard)}")
+            return self
+        if not 0 <= shard < num_shards:
+            raise ValueError(f"shard {shard} not in [0, {num_shards})")
+        dropped = 0
+        new: Dict[Tuple[int, int], List[int]] = {}
+        for key in sorted(self.bucket_indices):
+            idxs = self.bucket_indices[key]
+            keep = (len(idxs) // num_shards) * num_shards
+            dropped += len(idxs) - keep
+            sel = idxs[shard:keep:num_shards]
+            if sel:
+                new[key] = sel
+        self.bucket_indices = new
+        self._partition = (num_shards, shard)
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "partition_for_host: %d images dropped to equalize "
+                "per-host bucket counts across %d hosts", dropped,
+                num_shards)
+        return self
+
 
 def create_dataset(config, cache_manager: Optional[CacheManager] = None,
-                   tag_weighter: Optional[TagWeighter] = None
-                   ) -> AspectBucketDataset:
+                   tag_weighter: Optional[TagWeighter] = None,
+                   data_dir=None) -> AspectBucketDataset:
     """Directory scan -> dataset (reference ``create_dataset``
-    ``dataset.py:670-698``)."""
-    image_paths, captions = load_data_from_directory(config.data.train_data_dir)
-    if cache_manager is None and config.global_config.cache.use_cache:
-        cache_manager = CacheManager(config.global_config.cache.cache_dir)
+    ``dataset.py:670-698``).  ``data_dir`` overrides
+    ``config.data.train_data_dir`` (used for the held-out
+    ``data.validation_data_dir`` dataset).
+
+    Cache placement policy (``global_config.cache``):
+
+    * ``persistent`` knobs all true -> ``cache_dir`` as configured;
+    * any persistence knob false (the reference's cache-less mode) -> an
+      ephemeral per-run temp directory deleted at interpreter exit
+      (precompute still runs — see ``CacheConfig.persistent``);
+    * ``partitioned`` true on a multi-process run -> per-host subdirectory
+      ``host-NNN`` and a static per-host dataset partition
+      (``partition_for_host``) so each host encodes and reads only its own
+      shard (host-local disk layout).
+    """
+    is_train = data_dir is None
+    image_paths, captions = load_data_from_directory(
+        data_dir if data_dir is not None else config.data.train_data_dir)
+    cache_cfg = config.global_config.cache
+    if cache_manager is None:
+        if cache_cfg.persistent:
+            cache_root = Path(cache_cfg.cache_dir)
+        else:
+            import atexit
+            import shutil
+            import tempfile
+            ephemeral = tempfile.mkdtemp(prefix="sdxl_tpu_ephemeral_cache_")
+            atexit.register(shutil.rmtree, ephemeral, ignore_errors=True)
+            import logging
+            logging.getLogger(__name__).warning(
+                "cache persistence disabled (use_cache/cache_latents/"
+                "cache_text_embeddings false): precompute still runs, into "
+                "an ephemeral per-run cache at %s (deleted at exit). "
+                "Crops/flips are fixed for the run, not re-rolled per "
+                "epoch as the reference's __getitem__ encoding would.",
+                ephemeral)
+            cache_root = Path(ephemeral)
+        import jax as _jax
+        if cache_cfg.partitioned and _jax.process_count() > 1:
+            cache_root = cache_root / f"host-{_jax.process_index():03d}"
+        cache_manager = CacheManager(cache_root)
     if tag_weighter is None:
         tag_weighter = create_tag_weighter_with_index(config, captions,
                                                       cache_manager)
-    return AspectBucketDataset(config, image_paths, captions, cache_manager,
-                               tag_weighter)
+    ds = AspectBucketDataset(config, image_paths, captions, cache_manager,
+                             tag_weighter)
+    import jax as _jax
+    if is_train and cache_cfg.partitioned and _jax.process_count() > 1:
+        ds.partition_for_host(_jax.process_count(), _jax.process_index())
+    return ds

@@ -122,15 +122,45 @@ def batches_for_epoch(dataset, batch_size: int, epoch: int = 0, seed: int = 0,
 
 
 def prefetch_to_device(batch_iter, mesh=None, prefetch: int = 2,
-                       background: bool = True):
+                       background: bool = True, local_rows: bool = False):
     """Double-buffered transfer: yields device-resident batches.
 
     With ``background=True`` host batch assembly runs in a worker thread
     (IO + np.stack overlap compute), and up to ``prefetch`` device_puts are
     in flight ahead of the consumer.
+
+    Multi-process contract (jax.process_count() > 1):
+
+    * ``local_rows=False`` (shared-cache layout): every process iterates the
+      IDENTICAL global batch sequence (same sampler seed, no sampler
+      sharding) and ``jax.device_put`` materialises only the rows owned by
+      this host's devices.  Identity across hosts is the caller's invariant
+      — jax cannot verify it.
+    * ``local_rows=True`` (partitioned-cache layout): each process yields
+      only its own rows (global_batch / process_count of them) and the
+      global array is assembled with
+      ``jax.make_array_from_process_local_data`` — no host ever needs
+      another host's cache entries.
     """
-    put = (lambda b: jax.device_put(b, M.batch_sharding(mesh))) if mesh is not None \
-        else jax.device_put
+    if mesh is None:
+        put = jax.device_put
+    else:
+        sharding = M.batch_sharding(mesh)
+        if local_rows and jax.process_count() > 1:
+            def put(b):
+                return {k: jax.make_array_from_process_local_data(sharding, v)
+                        for k, v in b.items()}
+        elif jax.process_count() > 1:
+            # every host holds the identical global batch; materialise only
+            # the rows this host's devices own (device_put rejects
+            # non-addressable shardings in multi-process)
+            def put(b):
+                return {k: jax.make_array_from_callback(
+                            v.shape, sharding, lambda idx, v=v: v[idx])
+                        for k, v in b.items()}
+        else:
+            def put(b):
+                return jax.device_put(b, sharding)
 
     if not background:
         buf = collections.deque()

@@ -20,7 +20,7 @@ the trainer-side arithmetic mean of raw tag weights
 per-category means (``tag_weighter.py:451-482``).  This rebuild feeds the
 loss the geometric-mean formula (the one the reference's TagWeighter itself
 documents as the caption weight); chosen deliberately, covered by golden
-tests in ``tests/test_tags.py``.
+tests in ``tests/test_data.py::TestTags``.
 """
 from __future__ import annotations
 

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=28)
     p.add_argument("--guidance", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--method", choices=["auto", "ddpm", "flow_matching"],
+                   default="auto",
+                   help="sampler family; auto reads training.method from "
+                        "the checkpoint's config.json")
     p.add_argument("--out", default="samples")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test topology (CI smoke)")
@@ -42,7 +46,10 @@ def main(argv=None) -> int:
     from PIL import Image
     from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
 
-    pipe = SDXLPipeline.from_pretrained(args.model, tiny=args.tiny)
+    method = None if args.method == "auto" else args.method
+    pipe = SDXLPipeline.from_pretrained(args.model, tiny=args.tiny,
+                                        method=method)
+    print(f"sampler method: {pipe.method}")
     images = pipe(args.prompt, height=args.height, width=args.width,
                   num_inference_steps=args.steps,
                   guidance_scale=args.guidance, seed=args.seed,

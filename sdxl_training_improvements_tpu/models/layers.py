@@ -151,7 +151,7 @@ class Attention(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    use_pallas: bool = True
+    attn_impl: str = "auto"  # ops/attention.py dispatch (auto|xla|chunked|flash)
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -168,7 +168,7 @@ class Attention(nn.Module):
         q = q.reshape(b, s, self.num_heads, self.head_dim)
         k = k.reshape(b, t, self.num_heads, self.head_dim)
         v = v.reshape(b, t, self.num_heads, self.head_dim)
-        out = dot_product_attention(q, k, v, use_pallas=self.use_pallas)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, s, inner)
         return dense("to_out_0", inner, True)(out)
 
@@ -229,12 +229,12 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    use_pallas: bool = True
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, context):
         attn = lambda n: Attention(self.num_heads, self.head_dim, self.dtype,
-                                   self.param_dtype, self.use_pallas, name=n)
+                                   self.param_dtype, self.attn_impl, name=n)
         x = x + attn("attn1")(LayerNormF32(name="norm1")(x))
         x = x + attn("attn2")(LayerNormF32(name="norm2")(x), context)
         dim = self.num_heads * self.head_dim
@@ -254,7 +254,7 @@ class Transformer2DModel(nn.Module):
     depth: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
-    use_pallas: bool = True
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, context):
@@ -267,7 +267,7 @@ class Transformer2DModel(nn.Module):
         for i in range(self.depth):
             hx = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.dtype, self.param_dtype,
-                self.use_pallas, name=f"transformer_blocks_{i}")(hx, context)
+                self.attn_impl, name=f"transformer_blocks_{i}")(hx, context)
         hx = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="proj_out")(hx)
         return hx.reshape(b, h, w, c) + residual

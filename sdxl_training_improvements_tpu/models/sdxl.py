@@ -39,7 +39,7 @@ class SDXLModel:
                weight_dtypes: Optional[ModelWeightDtypes] = None,
                remat: Optional[bool] = None,
                remat_policy: Optional[str] = None,
-               use_pallas: Optional[bool] = None,
+               attn_impl: Optional[str] = None,
                init_rng: Optional[jax.Array] = None,
                init_components=("unet",), latent_size: int = 16) -> "SDXLModel":
         """Random-init bundle.  ``tiny`` builds the CPU-testable miniature;
@@ -48,9 +48,9 @@ class SDXLModel:
 
         ``policy`` (``core.types.Policy``) is the single mixed-precision
         source: ``param_dtype``/``compute_dtype`` flow into the UNet.  The
-        ``remat`` / ``use_pallas`` toggles are the ``config.tpu.remat`` /
-        ``tpu.use_pallas_attention`` knobs (None keeps each config's
-        default, i.e. on for full SDXL, off for tiny)."""
+        ``remat`` / ``attn_impl`` toggles are the ``config.tpu.remat`` /
+        ``tpu.attention_impl`` knobs (None keeps each config's default:
+        "auto" dispatch for full SDXL, plain "xla" for tiny)."""
         if policy is not None:
             dtype = policy.compute_dtype
         if tiny:
@@ -65,8 +65,8 @@ class SDXLModel:
             overrides["remat"] = remat
         if remat_policy is not None:
             overrides["remat_policy"] = remat_policy
-        if use_pallas is not None:
-            overrides["use_pallas"] = use_pallas
+        if attn_impl is not None:
+            overrides["attn_impl"] = attn_impl
         if overrides:
             ucfg = dataclasses.replace(ucfg, **overrides)
         param_dtype = policy.param_dtype if policy is not None else dtype

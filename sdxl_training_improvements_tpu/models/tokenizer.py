@@ -90,7 +90,19 @@ def load_tokenizers(model_dir, max_length: int = 77) -> TokenizerPair:
     import logging
     model_dir = Path(model_dir)
     dirs = [model_dir / "tokenizer", model_dir / "tokenizer_2"]
-    if not all(d.exists() for d in dirs):
+    exists = [d.exists() for d in dirs]
+    if any(exists) and not all(exists):
+        # partial/corrupt checkpoint: one tokenizer present, the other
+        # missing.  Falling back to hashed ids for BOTH would train
+        # pretrained CLIP weights on garbage with a normal-looking loss —
+        # exactly what the policy above forbids.
+        missing = dirs[exists.index(False)]
+        raise FileNotFoundError(
+            f"checkpoint at {model_dir} has {dirs[exists.index(True)].name}/ "
+            f"but no {missing.name}/ — a partial or corrupt checkpoint. "
+            "Restore both tokenizer directories (or remove both to opt into "
+            "the hash-tokenizer stand-in for from-scratch runs).")
+    if not any(exists):
         logging.getLogger(__name__).warning(
             "no tokenizer/ + tokenizer_2/ under %s - using the hash "
             "tokenizer stand-in (fine for random-init runs, WRONG for "

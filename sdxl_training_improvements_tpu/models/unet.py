@@ -8,7 +8,8 @@ reference fine-tunes (loaded at ``src/models/sdxl.py:25-31``; called with
 * NHWC activations everywhere (TPU conv layout); the NCHW boundary transpose
   happens in ``__call__``.
 * bf16 params/compute with fp32 norms and fp32 softmax via the dtype policy.
-* Attention runs the Pallas flash kernel on TPU (``ops/attention.py``).
+* Attention dispatches per shape + hardware probe: Pallas flash kernel,
+  bounded-memory chunked XLA, or monolithic XLA (``ops/attention.py``).
 * Optional ``remat`` checkpoints every resnet/transformer block —
   the TPU analogue of the reference's ``enable_gradient_checkpointing``
   (``flow_matching_trainer.py:59-66``).
@@ -55,7 +56,10 @@ class UNetConfig:
     # ground between remat on/off: ~the memory win at a fraction of the
     # 16% recompute tax, docs/performance.md)
     remat_policy: str = "full"
-    use_pallas: bool = True
+    # attention implementation (ops/attention.py): auto = flash when the
+    # Mosaic probe says native, chunked when the score tensor is huge, xla
+    # otherwise
+    attn_impl: str = "auto"
 
     @classmethod
     def sdxl(cls, **kw) -> "UNetConfig":
@@ -74,7 +78,7 @@ class UNetConfig:
             # pooled 32 = tiny CLIP-G projection_dim (clip.CLIPTextConfig.tiny)
             projection_class_embeddings_input_dim=32 + 6 * 8,
             remat=False,
-            use_pallas=False,
+            attn_impl="xla",
         )
         defaults.update(kw)
         return cls(**defaults)
@@ -162,7 +166,7 @@ class SDXLUNet(nn.Module):
         def make_tfm(ch, depth, name):
             return tfm_cls(num_heads=ch // cfg.attention_head_dim,
                            head_dim=cfg.attention_head_dim, depth=depth,
-                           dtype=dt, param_dtype=pdt, use_pallas=cfg.use_pallas,
+                           dtype=dt, param_dtype=pdt, attn_impl=cfg.attn_impl,
                            name=name)
 
         # --- down path ---

@@ -1,9 +1,23 @@
-"""Attention ops for the UNet (TPU-native replacement for xformers).
+"""Attention dispatch for the UNet (TPU-native replacement for xformers).
 
 The reference gets memory-efficient attention from xformers
-(``flow_matching_trainer.py:69-76``); here the same role is played by a Pallas
-flash-attention kernel (``ops/flash_attention.py``) with this jnp
-reference path as the numerics oracle and CPU fallback.
+(``flow_matching_trainer.py:69-76``); here the same role is played by three
+implementations behind one dispatcher:
+
+* ``flash``   — Pallas flash-attention kernel (``ops/flash_attention.py``),
+  the native-hardware fast path (never materialises the S*T scores);
+* ``chunked`` — pure-XLA bounded-memory attention
+  (``ops/chunked_attention.py``), same O(S*D) residual asymptotics at XLA
+  speed, for environments where Mosaic is emulated/slow;
+* ``xla``     — the monolithic reference path below, fastest when the score
+  tensor comfortably fits (it is the numerics oracle for the other two).
+
+``impl="auto"`` (the default everywhere) picks per call site, using static
+shape information and the Mosaic auto-probe (``ops/probe.py``):
+flash when Mosaic runs natively; otherwise chunked when this call's fp32
+score tensor would exceed ``SDXL_TPU_ATTN_CHUNK_MB`` (default 768 MB —
+the measured OOM driver at batch-4 @1024^2 was a single 2.5 GB probs
+tensor, docs/performance.md); otherwise monolithic XLA.
 
 Layout: [B, S, H, D] (batch, sequence, heads, head_dim) — the natural TPU
 layout keeping the contraction dims (D, S) in the lanes for the MXU.
@@ -12,10 +26,14 @@ Softmax is always computed in float32 regardless of input dtype.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+IMPLS = ("auto", "xla", "chunked", "flash")
+_DEFAULT_CHUNK_MB = 768
 
 
 def dot_product_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
@@ -34,36 +52,66 @@ def dot_product_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
 
 @functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
-    """Pallas flash kernel opt-in.
+    """Pallas flash kernel availability.
 
-    Default OFF even on TPU: measured on this project's tunneled-TPU dev
-    environment, Mosaic custom calls execute through an emulated relay path
-    ~100x slower than native (jax's own pallas flash kernel shows the same
-    pathology: 42 ms vs XLA's 5 ms at S=4096, 5.5 s at S=1024), while XLA's
-    fused attention runs at native speed.  On hardware where Mosaic runs
-    natively, set ``SDXL_TPU_FLASH=1`` (or UNetConfig.use_pallas) to enable;
-    numerics are verified identical either way (tests/test_flash_attention).
+    ``SDXL_TPU_FLASH=1`` forces it on, ``=0`` forces it off; unset defers to
+    the Mosaic auto-probe (``ops/probe.py``) so the first run on native
+    hardware uses the kernel without human intervention, while this
+    project's tunneled dev TPU (Mosaic ~100x slow through the relay,
+    docs/performance.md) keeps the XLA paths.  Numerics are verified
+    identical either way (tests/test_flash_attention.py).
     """
-    import os
-    flag = os.environ.get("SDXL_TPU_FLASH", "0")
-    if flag != "1":
+    from sdxl_training_improvements_tpu.ops.probe import kernel_enabled
+    if not kernel_enabled("SDXL_TPU_FLASH"):
+        return False
+    if jax.default_backend() != "tpu":
         return False
     try:
         from sdxl_training_improvements_tpu.ops import flash_attention  # noqa: F401
-        return jax.default_backend() == "tpu"
+        return True
     except Exception:
         return False
 
 
+@functools.lru_cache(maxsize=1)
+def _chunk_threshold_bytes() -> int:
+    mb = os.environ.get("SDXL_TPU_ATTN_CHUNK_MB", str(_DEFAULT_CHUNK_MB))
+    try:
+        return int(float(mb) * (1 << 20))
+    except ValueError:
+        return _DEFAULT_CHUNK_MB << 20
+
+
+def resolve_impl(impl: str, b: int, s: int, t: int, h: int) -> str:
+    """Resolve "auto" to a concrete implementation for a static call shape."""
+    if impl not in IMPLS:
+        raise ValueError(f"Unknown attention impl {impl!r}; one of {IMPLS}")
+    if impl != "auto":
+        return impl
+    if _flash_available():
+        return "flash"
+    score_bytes = 4 * b * h * s * t  # the fp32 logits/probs tensor
+    if score_bytes >= _chunk_threshold_bytes():
+        return "chunked"
+    return "xla"
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          use_pallas: bool = True) -> jnp.ndarray:
-    """Dispatch: Pallas flash attention (when enabled), XLA reference else.
+                          impl: str = "auto") -> jnp.ndarray:
+    """Dispatch per the module docstring.
 
     Self-attention sequences here are latent grids (4096 tokens at 1024²,
     up to 36864 at the 1536² bucket); cross-attention keys are 77 text
-    tokens (SURVEY.md §5.7).
+    tokens (SURVEY.md §5.7), which never trip the chunked threshold.
     """
-    if use_pallas and _flash_available():
+    b, s, h, _ = q.shape
+    t = k.shape[1]
+    resolved = resolve_impl(impl, b, s, t, h)
+    if resolved == "flash":
         from sdxl_training_improvements_tpu.ops import flash_attention
         return flash_attention.flash_attention(q, k, v)
+    if resolved == "chunked":
+        from sdxl_training_improvements_tpu.ops.chunked_attention import (
+            chunked_attention)
+        return chunked_attention(q, k, v)
     return dot_product_attention_reference(q, k, v)

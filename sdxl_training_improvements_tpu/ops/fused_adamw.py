@@ -16,14 +16,13 @@ random stream.  Stochastic rounding only requires the noise to be uniform
 16-bit and independent — the stream identity is not part of the contract
 (the reference's own stream is torch's).
 
-Gating mirrors the other kernels: ``SDXL_TPU_FUSED_ADAMW=1`` on hardware
-where Mosaic executes natively (this dev tunnel runs Mosaic ~100x slow —
-docs/performance.md), numerics verified in interpret mode either way.
+Gating mirrors the other kernels: on by default when the Mosaic auto-probe
+(``ops/probe.py``) reports native execution, ``SDXL_TPU_FUSED_ADAMW=1/0``
+forces; numerics verified in interpret mode either way.
 """
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -147,5 +146,7 @@ def fused_adamw_update(p, g, m, v, shift, *, lr_eff: jnp.ndarray,
 
 @functools.lru_cache(maxsize=1)
 def fused_adamw_enabled() -> bool:
-    return (os.environ.get("SDXL_TPU_FUSED_ADAMW", "0") == "1"
+    # "1" forces on, "0" forces off, unset -> Mosaic auto-probe (ops/probe)
+    from sdxl_training_improvements_tpu.ops.probe import kernel_enabled
+    return (kernel_enabled("SDXL_TPU_FUSED_ADAMW")
             and jax.default_backend() == "tpu")

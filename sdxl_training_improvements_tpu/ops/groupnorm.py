@@ -20,7 +20,6 @@ from the reference formula — simple and always correct).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +157,9 @@ def _pick_chunks(s: int, c: int, itemsize: int) -> int:
 
 @functools.lru_cache(maxsize=1)
 def _fused_enabled() -> bool:
-    return os.environ.get("SDXL_TPU_FUSED_GN", "0") == "1" and \
+    # "1" forces on, "0" forces off, unset -> Mosaic auto-probe (ops/probe)
+    from sdxl_training_improvements_tpu.ops.probe import kernel_enabled
+    return kernel_enabled("SDXL_TPU_FUSED_GN") and \
         jax.default_backend() == "tpu"
 
 

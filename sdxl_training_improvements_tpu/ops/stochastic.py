@@ -47,6 +47,36 @@ def addcdiv_stochastic_bits(acc_bf16, numer, denom, noise_u32, value=1.0):
     return stochastic_round_bits(result, noise_u32)
 
 
+# ------------------------------------------------------- fused counter RNG
+def counter_noise(seed_u32: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Uniform uint32 noise from a fused integer hash of a counter — the
+    zero-HBM-traffic noise source for the optimizer's stochastic rounding.
+
+    ``jax.random.bits`` emits a standalone rng-bit-generator HLO whose
+    output is *materialised* (for SDXL's 2.567B params that is ~41 GB of
+    extra HBM traffic per optimizer step — measured as the dominant gap to
+    the update's bandwidth bound, docs/performance.md).  Here the noise is
+    ``lowbias32(iota ^ seed)``: iota and the 5-op hash fuse into the
+    consuming elementwise update, so the noise never touches HBM.
+
+    lowbias32 is Wellons' public-domain 32-bit avalanche hash (the
+    best-known 2-round multiply-xorshift constants); stochastic rounding
+    only requires i.i.d.-ish uniform 16-bit noise, not cryptographic
+    strength — the reference's own noise is torch's default generator
+    (``stochastic/__init__.py:46-71``), so the stream identity is already
+    not part of the contract.  Uniformity is tested in
+    tests/test_optimizers.py (chi-square + SR unbiasedness).
+    """
+    i = jax.lax.iota(jnp.uint32, n)
+    x = i ^ seed_u32.astype(jnp.uint32)
+    x ^= x >> 16
+    x = x * jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x = x * jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
 # ----------------------------------------------------------------- key API
 def stochastic_round_to_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Key-based convenience wrapper around ``stochastic_round_bits``."""

@@ -40,7 +40,48 @@ def initialize_multihost() -> None:
                    "MEGASCALE_COORDINATOR_ADDRESS")
     if not any(os.environ.get(v) for v in cluster_env):
         return  # no cluster coordinator configured -> single-process run
-    jax.distributed.initialize()
+    if jax.distributed.is_initialized():
+        return  # idempotent: second trainer in the same process
+    # manual bring-up (CPU clusters / tests): when the explicit triple is
+    # set, pass it through — jax's no-arg initialize only auto-detects
+    # managed clusters (TPU pods, SLURM, OMPI)
+    addr = (os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    nproc = os.environ.get("SDXL_NUM_PROCESSES")
+    pid = os.environ.get("SDXL_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    else:
+        jax.distributed.initialize()
+
+
+def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Coordination-service barrier across processes (no-op single-process).
+
+    Absorbs cross-host skew before the first compiled collective: per-host
+    work (precompute, cold compiles) can skew hosts by minutes, while the
+    collective backends' connect timeouts are ~30 s — a host arriving late
+    at the first all-gather turns into an opaque DEADLINE_EXCEEDED on the
+    early hosts.  The KV-store barrier has a long, explicit timeout and
+    names the laggard instead."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+    client = getattr(_dist.global_state, "client", None)
+    if client is not None:
+        # suffix a sequence number: barrier ids are single-use in the
+        # coordination service, and callers (e.g. train()) may run twice in
+        # one process.  Deterministic call order keeps the counters in step
+        # across processes.
+        global _BARRIER_SEQ
+        _BARRIER_SEQ += 1
+        client.wait_at_barrier(f"{name}-{_BARRIER_SEQ}",
+                               timeout_in_ms=timeout_ms)
+
+
+_BARRIER_SEQ = 0
 
 
 def create_mesh(mesh_shape: Optional[Sequence[int]] = None,

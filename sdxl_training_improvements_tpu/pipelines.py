@@ -29,15 +29,33 @@ from sdxl_training_improvements_tpu.training.validation import (
 
 class SDXLPipeline:
     def __init__(self, model: SDXLModel, tokenizers: TokenizerPair,
-                 schedule: Optional[NoiseSchedule] = None):
+                 schedule: Optional[NoiseSchedule] = None,
+                 method: str = "ddpm"):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule or NoiseSchedule.create()
+        self.method = method  # routes the sampler (ddpm | flow_matching)
+
+    @staticmethod
+    def detect_method(model_dir) -> str:
+        """Read ``training.method`` from the checkpoint's exported
+        ``config.json`` (written by ``export_diffusers``); "ddpm" when the
+        checkpoint predates the field or is a plain diffusers export."""
+        import json
+        cfg_path = Path(model_dir) / "config.json"
+        try:
+            raw = json.loads(cfg_path.read_text())
+            return raw.get("training", {}).get("method", "ddpm") or "ddpm"
+        except (OSError, ValueError):
+            return "ddpm"
 
     @classmethod
     def from_pretrained(cls, model_dir, tiny: bool = False,
-                        schedule: Optional[NoiseSchedule] = None
-                        ) -> "SDXLPipeline":
+                        schedule: Optional[NoiseSchedule] = None,
+                        method: Optional[str] = None) -> "SDXLPipeline":
+        """``method=None`` auto-detects from the checkpoint's config.json —
+        a flow-matching-trained checkpoint must not be sampled through the
+        sigma-space ZTSNR sampler (and vice versa)."""
         from sdxl_training_improvements_tpu.training.checkpoints import (
             import_diffusers)
         model = SDXLModel.create(tiny=tiny)
@@ -46,13 +64,17 @@ class SDXLPipeline:
         if missing:
             raise FileNotFoundError(
                 f"checkpoint at {model_dir} missing components: {missing}")
-        return cls(model, load_tokenizers(Path(model_dir)), schedule)
+        method = method or cls.detect_method(model_dir)
+        return cls(model, load_tokenizers(Path(model_dir)), schedule,
+                   method=method)
 
     @classmethod
     def from_model(cls, model: SDXLModel,
                    tokenizers: Optional[TokenizerPair] = None,
-                   schedule: Optional[NoiseSchedule] = None) -> "SDXLPipeline":
-        return cls(model, tokenizers or TokenizerPair.fallback(), schedule)
+                   schedule: Optional[NoiseSchedule] = None,
+                   method: str = "ddpm") -> "SDXLPipeline":
+        return cls(model, tokenizers or TokenizerPair.fallback(), schedule,
+                   method=method)
 
     def __call__(self, prompts: Sequence[str], height: int = 1024,
                  width: int = 1024, num_inference_steps: int = 28,
@@ -62,7 +84,8 @@ class SDXLPipeline:
         sampler = ValidationSampler(self.model, self.tokenizers,
                                     self.schedule,
                                     num_inference_steps=num_inference_steps,
-                                    guidance_scale=guidance_scale)
+                                    guidance_scale=guidance_scale,
+                                    method=self.method)
         return sampler.generate(self.model.params["unet"], list(prompts),
                                 jax.random.key(seed), height=height,
                                 width=width,

@@ -207,6 +207,15 @@ def import_lora(path, base_params, prefix: str = "unet") -> dict:
         logging.getLogger(__name__).warning(
             "import_lora: skipped %d non-%r adapter keys (e.g. %s)",
             len(skipped), prefix, skipped[0])
+    # a file carrying only one half of a pair would otherwise surface as an
+    # opaque KeyError at merge/apply time — validate completeness here
+    incomplete = sorted(p for p, pair in tree.items()
+                        if set(pair) != {"down", "up"})
+    if incomplete:
+        raise ValueError(
+            f"LoRA file {path} is missing lora_A or lora_B for "
+            f"{len(incomplete)} module(s): {incomplete[:5]}"
+            + (" ..." if len(incomplete) > 5 else ""))
     return tree
 
 

@@ -110,6 +110,7 @@ class SDXLTrainer:
         else:
             trainable, apply_fn = (self.model.trainable_params(),
                                    self.model.unet_apply)
+        self._apply_fn = apply_fn  # validation_loss runs the same apply
 
         self.train_step = make_train_step(
             apply_fn, self.schedule, self.optimizer, config,
@@ -163,13 +164,13 @@ class SDXLTrainer:
             self.config.model.model_type) is ModelType.SDXL_TINY
         # core.types.Policy is the single mixed-precision source
         # (reference ModelWeightDtypes role, ``src/core/types.py:40-118``);
-        # config.tpu.{remat,use_pallas_attention} thread into UNetConfig here.
+        # config.tpu.{remat,attention_impl} thread into UNetConfig here.
         policy = Policy.from_mixed_precision(
             self.config.training.mixed_precision)
         model = SDXLModel.create(tiny=tiny, policy=policy,
                                  remat=self.config.tpu.remat,
                                  remat_policy=self.config.tpu.remat_policy,
-                                 use_pallas=self.config.tpu.use_pallas_attention)
+                                 attn_impl=self.config.tpu.attention_impl)
         local = Path(name)
         if local.exists():
             self.logger.info(f"Loading pretrained SDXL from {local}")
@@ -198,37 +199,65 @@ class SDXLTrainer:
         (replaces the reference's model-owning dataset, SURVEY.md §1)."""
         if self.dataset is None:
             self.dataset = create_dataset(self.config)
-        ds = self.dataset
-        if ds.cache is not None and {"vae", "clip_l", "clip_g"} <= set(
+        self._precompute_into(self.dataset, label="train")
+        return self.dataset
+
+    def _precompute_into(self, ds: AspectBucketDataset,
+                         label: str = "train") -> None:
+        """Run latent/embedding precompute on ``ds`` through the jitted
+        encoders (no-op without a cache or the encoder weights)."""
+        if ds.cache is None or not {"vae", "clip_l", "clip_g"} <= set(
                 self.model.params):
-            encode_images = jax.jit(
-                lambda px, key: self.model.vae.apply(
-                    self.model.params["vae"], px, key,
-                    method=self.model.vae.encode))
-            key_holder = {"key": jax.random.key(self.config.training.seed)}
+            return
+        encode_images = jax.jit(
+            lambda px, key: self.model.vae.apply(
+                self.model.params["vae"], px, key,
+                method=self.model.vae.encode))
+        key_holder = {"key": jax.random.key(self.config.training.seed)}
 
-            def enc_i(px):
-                key_holder["key"], k = jax.random.split(key_holder["key"])
-                return encode_images(jnp.asarray(px, jnp.float32), k)
+        def enc_i(px):
+            key_holder["key"], k = jax.random.split(key_holder["key"])
+            return encode_images(jnp.asarray(px, jnp.float32), k)
 
-            def enc_p(captions):
-                ids_l, ids_g = self.tokenizers(captions)
-                out = self.model.encode_prompt(jnp.asarray(ids_l),
-                                               jnp.asarray(ids_g))
-                return {k: np.asarray(v) for k, v in out.items()}
+        def enc_p(captions):
+            ids_l, ids_g = self.tokenizers(captions)
+            out = self.model.encode_prompt(jnp.asarray(ids_l),
+                                           jnp.asarray(ids_g))
+            return {k: np.asarray(v) for k, v in out.items()}
 
-            n = ds.precompute(enc_i, enc_p,
-                              batch_size=self.config.training.batch_size,
-                              center_crop=self.config.data.center_crop,
-                              random_flip=self.config.data.random_flip)
-            stats = ds.last_precompute_stats
-            self.logger.info(
-                f"Precomputed {n} latent/embedding entries "
-                f"({stats['images_per_sec']:.2f} imgs/sec)")
-            self.logger.log_metrics(
-                {"precompute/images_per_sec": stats["images_per_sec"],
-                 "precompute/images": n}, step=0)
-        return ds
+        n = ds.precompute(enc_i, enc_p,
+                          batch_size=self.config.training.batch_size,
+                          center_crop=self.config.data.center_crop,
+                          random_flip=self.config.data.random_flip)
+        stats = ds.last_precompute_stats
+        self.logger.info(
+            f"Precomputed {n} {label} latent/embedding entries "
+            f"({stats['images_per_sec']:.2f} imgs/sec)")
+        self.logger.log_metrics(
+            {f"precompute/{label}_images_per_sec": stats["images_per_sec"],
+             f"precompute/{label}_images": n}, step=0)
+
+    def prepare_validation_data(self) -> Optional[AspectBucketDataset]:
+        """Held-out dataset from ``data.validation_data_dir`` (the surface
+        the reference intended but never wired,
+        ``src/training/validation.py:33-92``): cached under
+        ``<cache_dir>/validation`` so the train cache index never mixes
+        with held-out entries.  Returns None when the knob is unset."""
+        val_dir = self.config.data.validation_data_dir
+        if not val_dir:
+            return None
+        if getattr(self, "val_dataset", None) is not None:
+            return self.val_dataset
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        cache = None
+        if self.config.global_config.cache.use_cache:
+            cache = CacheManager(
+                Path(self.config.global_config.cache.cache_dir)
+                / "validation")
+        self.val_dataset = create_dataset(self.config, cache_manager=cache,
+                                          data_dir=val_dir)
+        self._precompute_into(self.val_dataset, label="validation")
+        return self.val_dataset
 
     # ---------------------------------------------------------------- train
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
@@ -237,11 +266,34 @@ class SDXLTrainer:
         ds = self.dataset or self.prepare_data()
         global_batch = cfg.batch_size * max(1, cfg.gradient_accumulation_steps)
         max_steps = cfg.max_steps
+        # Multi-process batch contract (see data/pipeline.py):
+        # * shared cache: every host iterates the IDENTICAL global batch
+        #   sequence (num_shards=1, same seed) and device_put materialises
+        #   only this host's rows;
+        # * partitioned cache: the dataset is statically pre-partitioned per
+        #   host (data/dataset.py::partition_for_host), each host assembles
+        #   global_batch/process_count local rows per step.
+        nproc = jax.process_count()
+        partitioned = (self.config.global_config.cache.partitioned
+                       and nproc > 1)
+        if partitioned:
+            if global_batch % nproc:
+                raise ValueError(
+                    f"partitioned cache: global batch ({global_batch}) must "
+                    f"be divisible by process_count ({nproc}) — each host "
+                    "contributes an equal row block per step.")
+            sampler_batch = global_batch // nproc
+        else:
+            sampler_batch = global_batch
+        val_ds = self.prepare_validation_data()  # per-host work: pre-barrier
+        # absorb per-host skew (precompute, cold compiles) BEFORE the first
+        # compiled collective — its connect timeout is far shorter than the
+        # skew a cold start can produce (parallel/mesh.py::barrier)
+        M.barrier("sdxl-pre-train")
         # multi-host gate: equal batch counts + complete cache on every
         # host, or raise on all of them (never hang in a collective)
         per_epoch = check_shard_integrity(
-            ds, global_batch, num_shards=jax.process_count(),
-            shard=jax.process_index(), seed=cfg.seed)
+            ds, sampler_batch, num_shards=1, shard=0, seed=cfg.seed)
         if per_epoch == 0:
             raise ValueError(
                 f"No trainable batches: {len(ds)} images across "
@@ -262,11 +314,11 @@ class SDXLTrainer:
                     break  # e.g. resumed at/over the cap: run NO extra step
                 epoch_losses = []  # device scalars; pulled at epoch end
                 batch_iter = batches_for_epoch(
-                    ds, global_batch, epoch=epoch, seed=cfg.seed,
-                    num_shards=jax.process_count(),
-                    shard=jax.process_index(),
+                    ds, sampler_batch, epoch=epoch, seed=cfg.seed,
+                    num_shards=1, shard=0, strict=(nproc > 1),
                     proportion_empty_prompts=cfg.proportion_empty_prompts)
-                for batch in prefetch_to_device(batch_iter, self.mesh):
+                for batch in prefetch_to_device(batch_iter, self.mesh,
+                                                local_rows=partitioned):
                     if max_steps and step_count >= max_steps:
                         break  # check BEFORE stepping, not after
                     self.throughput.start_batch()
@@ -292,13 +344,26 @@ class SDXLTrainer:
                 epoch_loss = float(np.mean(epoch_losses)) if epoch_losses \
                     else float("nan")
                 self.logger.info(f"Epoch {epoch}: mean loss {epoch_loss:.5f}")
+                # held-out validation loss (data.validation_data_dir):
+                # method-consistent, deterministic batches/keys, and — when
+                # present — the quantity best-checkpoint selection follows
+                # instead of the train loss
+                track_loss = epoch_loss
+                if val_ds is not None:
+                    vloss = self.run_validation_loss(val_ds)
+                    if vloss is not None:
+                        track_loss = vloss
+                        self.logger.log_metrics({"val/loss": vloss},
+                                                step=step_count)
+                        self.logger.info(
+                            f"Epoch {epoch}: validation loss {vloss:.5f}")
                 # NOTE: save_checkpoint runs on EVERY process (the Orbax
                 # save of a sharded state is a collective); the decisions
                 # below are deterministic from replicated values, so all
                 # hosts take the same branches. Only the host-side exports
                 # inside save_checkpoint are rank-0-gated.
-                if epoch_loss < self.best_loss:
-                    self.best_loss = epoch_loss
+                if track_loss < self.best_loss:
+                    self.best_loss = track_loss
                     self.save_checkpoint(tag="best")
                 if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
                     self.save_checkpoint(epoch=epoch)
@@ -332,6 +397,22 @@ class SDXLTrainer:
         return self.state.params
 
     # ----------------------------------------------------------- validation
+    def run_validation_loss(self, val_ds: AspectBucketDataset
+                            ) -> Optional[float]:
+        """Held-out loss through ``training.validation.validation_loss``,
+        evaluated with the *training* apply fn on the current trainable
+        params (LoRA mode evaluates the adapter exactly as trained)."""
+        from sdxl_training_improvements_tpu.training.validation import (
+            validation_loss)
+        try:
+            return validation_loss(
+                self._apply_fn, self.state.params, val_ds, self.schedule,
+                self.config,
+                key=jax.random.key(self.config.training.seed + 17))
+        except Exception as e:  # never kill training over validation
+            self.logger.warning(f"validation loss failed: {e}")
+            return None
+
     def run_validation_images(self) -> None:
         """Sample ``data.validation_prompts`` and log images (wandb sampling
         surface, BASELINE config 5).  No-op without prompts or decoders."""
@@ -341,10 +422,19 @@ class SDXLTrainer:
             return
         from sdxl_training_improvements_tpu.training.validation import (
             ValidationLogger, ValidationSampler)
+        method = self.config.training.method
+        if method not in ("ddpm", "flow_matching"):
+            # custom registry methods don't declare a sampler family; the
+            # sigma-space default would produce garbage for them
+            self.logger.warning(
+                f"no image sampler for custom method {method!r}; skipping "
+                "validation images (val loss still runs)")
+            return
         try:
             sampler = ValidationSampler(
                 self.model, self.tokenizers, self.schedule,
-                num_inference_steps=self.config.training.num_inference_steps)
+                num_inference_steps=self.config.training.num_inference_steps,
+                method=method)
             size = self.config.data.image_size
             vl = ValidationLogger(sampler, prompts, self.output_dir,
                                   logger=self.logger, height=size, width=size)

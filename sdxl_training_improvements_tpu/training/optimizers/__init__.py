@@ -22,6 +22,7 @@ from sdxl_training_improvements_tpu.training.optimizers.soap import (
 
 __all__ = [
     "adamw_bf16", "adamw_schedule_free_kahan", "soap", "make_optimizer",
+    "resolve_flat_state",
     "AdamWBF16State", "ScheduleFreeKahanState", "SOAPState", "EMAState",
     "schedule_free_eval_params", "with_ema", "ema_eval_params",
     "unwrap_ema",
@@ -42,16 +43,37 @@ def make_optimizer(config) -> optax.GradientTransformation:
             "(its x sequence is the shipped model, recovered at export); an "
             "EMA of the y training iterate would shadow that recovery with "
             "ill-defined weights. Disable one of the two.")
-    base = _make_base(oc)
+    tpu = getattr(config, "tpu", None)
+    base = _make_base(oc, flat_state=resolve_flat_state(tpu))
     return with_ema(base, decay=ema_decay) if ema_decay else base
 
 
-def _make_base(oc) -> optax.GradientTransformation:
+def resolve_flat_state(tpu_cfg) -> bool:
+    """Resolve ``tpu.flat_optimizer`` ("auto"|"on"|"off").
+
+    "auto" enables the flat adamw_bf16 state only when params are fully
+    replicated: no fsdp param sharding and no tensor axis in the mesh —
+    per-leaf state is what the sharding rules (``parallel/mesh.py``) apply
+    to, so model-sharded runs keep the per-leaf layout."""
+    if tpu_cfg is None:
+        return False
+    choice = str(getattr(tpu_cfg, "flat_optimizer", "off")).lower()
+    if choice in ("on", "true"):
+        return True
+    if choice in ("off", "false"):
+        return False
+    mesh_shape = getattr(tpu_cfg, "mesh_shape", None)
+    tensor_sharded = bool(mesh_shape) and len(mesh_shape) >= 3 \
+        and mesh_shape[2] > 1
+    return not getattr(tpu_cfg, "shard_params", False) and not tensor_sharded
+
+
+def _make_base(oc, flat_state: bool = False) -> optax.GradientTransformation:
     kind = oc.optimizer_type.lower()
     common = dict(lr=oc.learning_rate, betas=(oc.beta1, oc.beta2),
                   eps=oc.epsilon, weight_decay=oc.weight_decay)
     if kind == "adamw_bf16":
-        return adamw_bf16(**common)
+        return adamw_bf16(**common, flat_state=flat_state)
     if kind == "adamw_schedule_free_kahan":
         return adamw_schedule_free_kahan(
             **common, warmup_steps=oc.warmup_steps, kahan_sum=oc.kahan_sum,

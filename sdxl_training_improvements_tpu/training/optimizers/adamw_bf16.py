@@ -14,24 +14,39 @@ state and update order match ``_make_step`` (``:146-197``):
    exceeds 5e-3, with a random per-parameter starting phase so parameters
    don't all decay on the same step (``:112-128``).
 
-All state is bf16 (same memory footprint as the reference: 3x params).  PRNG
-keys are threaded functionally; per step each leaf consumes ONE
-``jax.random.bits`` call producing all four stochastic-rounding noise planes
-(rbg generator by default) — the compile-time-critical design point at 330+
-leaves.  The whole update is elementwise, so XLA fuses it into a few HBM
-passes.
+All state is bf16 (same memory footprint as the reference: 3x params).
+
+Two performance axes, both measurable via ``bench.py``:
+
+* ``noise``: "rbg" draws materialised uint32 planes via ``jax.random.bits``
+  (one call per leaf/group — the reference-faithful stream); "hash" derives
+  the planes from a fused integer hash of a counter
+  (``ops/stochastic.counter_noise``) so the noise never touches HBM —
+  removing ~41 GB of the update's ~97 GB traffic at SDXL scale.
+* ``flat_state``: pack the ~330 bf16 leaves into a few contiguous flat
+  buffers at ``init`` so the whole update compiles to a handful of large
+  fused elementwise passes instead of one per leaf (the measured per-leaf
+  fragmentation, docs/performance.md).  Weight-decay phases are then per
+  *group* rather than per leaf — within the reference's own randomness
+  envelope (the phases are random draws either way), documented here
+  because it changes which step each parameter decays on.
+
+``flat_state`` changes the optimizer-state pytree layout, so checkpoints
+written with one setting do not resume under the other (Orbax fails loudly
+on the structure mismatch).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import chex
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sdxl_training_improvements_tpu.ops.stochastic import (
-    add_stochastic_bits, addcdiv_stochastic_bits)
+    add_stochastic_bits, addcdiv_stochastic_bits, counter_noise)
 
 DECAY_THRESHOLD = 5e-3
 
@@ -41,24 +56,132 @@ class AdamWBF16State(NamedTuple):
     exp_avg: chex.ArrayTree
     exp_avg_sq: chex.ArrayTree
     shift: chex.ArrayTree
-    accumulated_decay: chex.ArrayTree  # scalar per param
+    accumulated_decay: chex.ArrayTree  # scalar per param (or per flat group)
     key: chex.PRNGKey
+
+
+def _noise_planes(key, n_elems: int, shape, mode: str):
+    """Four 16-bit noise planes for the four stochastic roundings."""
+    if mode == "hash":
+        seeds = jax.random.bits(key, (2,), jnp.uint32)
+        n0 = counter_noise(seeds[0], n_elems).reshape(shape)
+        n1 = counter_noise(seeds[1], n_elems).reshape(shape)
+    else:  # "rbg": materialised planes (reference-faithful stream shape)
+        raw = jax.random.bits(key, (2,) + tuple(shape), jnp.uint32)
+        n0, n1 = raw[0], raw[1]
+    return (n0, n0 >> 16, n1, n1 >> 16)
+
+
+def _partition_flat(leaves, n_groups: int):
+    """Static partition: fp32 leaf indices + contiguous bf16 groups of
+    ~equal element count.  Deterministic in the leaf structure alone, so
+    ``init`` and every ``update`` agree without storing the partition."""
+    f32_idx = [i for i, l in enumerate(leaves) if l.dtype == jnp.float32]
+    bf16_idx = [i for i, l in enumerate(leaves) if l.dtype == jnp.bfloat16]
+    if not bf16_idx:
+        return f32_idx, []
+    n_groups = max(1, min(n_groups, len(bf16_idx)))
+    total = sum(leaves[i].size for i in bf16_idx)
+    target = total / n_groups
+    groups, cur, acc = [], [], 0
+    for i in bf16_idx:
+        cur.append(i)
+        acc += leaves[i].size
+        if acc >= target * (len(groups) + 1) and len(groups) < n_groups - 1:
+            groups.append(cur)
+            cur = []
+    if cur:
+        groups.append(cur)
+    return f32_idx, groups
 
 
 def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                weight_decay: float = 0.0, seed: int = 0,
-               lr_schedule=None, prng_impl: str = "rbg"
+               lr_schedule=None, prng_impl: str = "rbg",
+               flat_state: bool = False, flat_groups: int = 8,
+               noise: Optional[str] = None
                ) -> optax.GradientTransformation:
     """Build the transform.  ``update(grads, state, params)`` returns the
-    *delta* to add to params (optax convention: ``p += updates``)."""
-    beta1, beta2 = betas
+    *delta* to add to params (optax convention: ``p += updates``).
 
-    def init(params):
-        leaves, treedef = jax.tree_util.tree_flatten(params)
+    ``noise`` defaults to "hash" for ``flat_state`` and "rbg" otherwise
+    (the per-leaf rbg stream is what the bit-parity suite pins against the
+    reference's kernels; tests/test_reference_parity.py)."""
+    beta1, beta2 = betas
+    noise_mode = noise if noise is not None else ("hash" if flat_state
+                                                  else "rbg")
+    if noise_mode not in ("rbg", "hash"):
+        raise ValueError(f"noise must be 'rbg' or 'hash', got {noise_mode!r}")
+
+    def _validate(leaves):
         for p in leaves:
             if p.dtype not in (jnp.bfloat16, jnp.float32):
                 raise ValueError("adamw_bf16 requires bfloat16 (or float32 "
                                  f"norm) params, got {p.dtype}")
+
+    # ------------------------------------------------------- f32-leaf chain
+    def f32_update(p, g, m, v):
+        g32 = g.astype(jnp.float32)
+        m = m * beta1 + (1.0 - beta1) * g32
+        v = v * beta2 + (1.0 - beta2) * g32 * g32
+        return m, v  # delta computed by caller (needs cur_lr)
+
+    # ------------------------------------------------------ bf16 chain body
+    def bf16_update(p, g, m, v, shift, acc_decay, key, cur_lr,
+                    denom_correction):
+        """One bf16 tensor (leaf or flat group).  ``acc_decay`` is a scalar;
+        returns (delta, m, v, shift, acc)."""
+        from sdxl_training_improvements_tpu.ops.fused_adamw import (
+            fused_adamw_enabled, fused_adamw_update)
+        if fused_adamw_enabled():
+            # single-pass Pallas kernel: whole m->v->shift->p chain in
+            # one HBM residency with in-register RNG (ops/fused_adamw)
+            acc = acc_decay + weight_decay * cur_lr
+            fire = acc > DECAY_THRESHOLD
+            decay_amt = jnp.where(fire, acc, 0.0)
+            kseed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+            p_new, m, v, shift = fused_adamw_update(
+                p, g, m, v, shift,
+                lr_eff=cur_lr * denom_correction, decay_amt=decay_amt,
+                seed=kseed, beta1=beta1, beta2=beta2, eps=eps)
+            acc = jnp.where(fire, jnp.zeros_like(acc), acc)
+            delta = (p_new.astype(jnp.float32)
+                     - p.astype(jnp.float32)).astype(p.dtype)
+            return delta, m, v, shift, acc
+        # each stochastic rounding consumes 16 bits; two 32-bit planes
+        # cover the four roundings
+        noise = _noise_planes(key, p.size, p.shape, noise_mode)
+        g32 = g.astype(jnp.float32)
+        # torch computes bf16 `exp_avg.mul_(beta1)` in fp32 opmath then
+        # rounds to nearest; a bare jnp `m * beta1` would instead
+        # downcast beta1 to bf16 (0.9 -> 0.8984375!) — multiply in fp32
+        m_scaled = (m.astype(jnp.float32) * beta1).astype(jnp.bfloat16)
+        m = add_stochastic_bits(m_scaled, g, noise[0], alpha=1.0 - beta1)
+        v = (v.astype(jnp.float32) * beta2
+             + (1.0 - beta2) * g32 * g32).astype(jnp.bfloat16)
+        denom = jnp.sqrt(v.astype(jnp.float32)) + eps
+        shift = addcdiv_stochastic_bits(shift, m, denom, noise[1],
+                                        value=-cur_lr * denom_correction)
+        p_new = add_stochastic_bits(p, shift, noise[2])
+        shift = add_stochastic_bits(
+            shift, p.astype(jnp.float32) - p_new.astype(jnp.float32),
+            noise[3])
+        # batched weight decay with random starting phase
+        acc = acc_decay + weight_decay * cur_lr
+        fire = acc > DECAY_THRESHOLD
+        shift = jnp.where(
+            fire,
+            (shift.astype(jnp.float32)
+             - acc * p_new.astype(jnp.float32)).astype(jnp.bfloat16),
+            shift)
+        acc = jnp.where(fire, jnp.zeros_like(acc), acc)
+        delta = p_new.astype(jnp.float32) - p.astype(jnp.float32)
+        return delta.astype(p.dtype), m, v, shift, acc
+
+    # ============================================================ per-leaf
+    def init_per_leaf(params):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        _validate(leaves)
         zeros = lambda p: jnp.zeros_like(p)
         key = jax.random.key(seed, impl=prng_impl)
         n = max(len(leaves), 1)
@@ -76,7 +199,7 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             key=jax.random.fold_in(key, 2),
         )
 
-    def update(grads, state, params):
+    def update_per_leaf(grads, state, params):
         if params is None:
             raise ValueError("adamw_bf16 requires params")
         step = state.step + 1
@@ -92,61 +215,12 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             if p.dtype == jnp.float32:
                 # fp32 leaves (norm scales/biases) need no stochastic
                 # rounding: same update formula, exact arithmetic
-                g32 = g.astype(jnp.float32)
-                m = m * beta1 + (1.0 - beta1) * g32
-                v = v * beta2 + (1.0 - beta2) * g32 * g32
-                denom = jnp.sqrt(v) + eps
-                delta = (-cur_lr * denom_correction) * m / denom \
-                    - weight_decay * cur_lr * p
+                m, v = f32_update(p, g, m, v)
+                delta = (-cur_lr * denom_correction) * m \
+                    / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p
                 return delta, m, v, shift, acc_decay
-            from sdxl_training_improvements_tpu.ops.fused_adamw import (
-                fused_adamw_enabled, fused_adamw_update)
-            if fused_adamw_enabled():
-                # single-pass Pallas kernel: whole m->v->shift->p chain in
-                # one HBM residency with in-register RNG (ops/fused_adamw)
-                acc = acc_decay + weight_decay * cur_lr
-                fire = acc > DECAY_THRESHOLD
-                decay_amt = jnp.where(fire, acc, 0.0)
-                seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
-                p_new, m, v, shift = fused_adamw_update(
-                    p, g, m, v, shift,
-                    lr_eff=cur_lr * denom_correction, decay_amt=decay_amt,
-                    seed=seed, beta1=beta1, beta2=beta2, eps=eps)
-                acc = jnp.where(fire, jnp.zeros_like(acc), acc)
-                delta = (p_new.astype(jnp.float32)
-                         - p.astype(jnp.float32)).astype(p.dtype)
-                return delta, m, v, shift, acc
-            # each stochastic rounding consumes 16 bits; draw two uint32
-            # planes and use both halves — halves the PRNG work, which is
-            # a measurable slice of this HBM-bound elementwise update
-            raw = jax.random.bits(key, (2,) + p.shape, jnp.uint32)
-            noise = (raw[0], raw[0] >> 16, raw[1], raw[1] >> 16)
-            g32 = g.astype(jnp.float32)
-            # torch computes bf16 `exp_avg.mul_(beta1)` in fp32 opmath then
-            # rounds to nearest; a bare jnp `m * beta1` would instead
-            # downcast beta1 to bf16 (0.9 -> 0.8984375!) — multiply in fp32
-            m_scaled = (m.astype(jnp.float32) * beta1).astype(jnp.bfloat16)
-            m = add_stochastic_bits(m_scaled, g, noise[0], alpha=1.0 - beta1)
-            v = (v.astype(jnp.float32) * beta2
-                 + (1.0 - beta2) * g32 * g32).astype(jnp.bfloat16)
-            denom = jnp.sqrt(v.astype(jnp.float32)) + eps
-            shift = addcdiv_stochastic_bits(shift, m, denom, noise[1],
-                                            value=-cur_lr * denom_correction)
-            p_new = add_stochastic_bits(p, shift, noise[2])
-            shift = add_stochastic_bits(
-                shift, p.astype(jnp.float32) - p_new.astype(jnp.float32),
-                noise[3])
-            # batched weight decay with random per-param phase
-            acc = acc_decay + weight_decay * cur_lr
-            fire = acc > DECAY_THRESHOLD
-            shift = jnp.where(
-                fire,
-                (shift.astype(jnp.float32)
-                 - acc * p_new.astype(jnp.float32)).astype(jnp.bfloat16),
-                shift)
-            acc = jnp.where(fire, jnp.zeros_like(acc), acc)
-            delta = p_new.astype(jnp.float32) - p.astype(jnp.float32)
-            return delta.astype(p.dtype), m, v, shift, acc
+            return bf16_update(p, g, m, v, shift, acc_decay, key, cur_lr,
+                               denom_correction)
 
         results = [leaf_update(p, g, m, v, s, a, leaf_keys[i])
                    for i, (p, g, m, v, s, a) in enumerate(zip(
@@ -160,4 +234,86 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                                    accumulated_decay=pick(4), key=new_key)
         return pick(0), new_state
 
-    return optax.GradientTransformation(init, update)
+    # ================================================================ flat
+    def init_flat(params):
+        leaves, _ = jax.tree_util.tree_flatten(params)
+        _validate(leaves)
+        f32_idx, groups = _partition_flat(leaves, flat_groups)
+        key = jax.random.key(seed, impl=prng_impl)
+        phases = jax.random.uniform(
+            jax.random.fold_in(key, 1),
+            (max(len(groups), 1),), jnp.float32) * DECAY_THRESHOLD
+
+        def flat_zeros(group):
+            return jnp.zeros((sum(leaves[i].size for i in group),),
+                             jnp.bfloat16)
+
+        def tree(maker_flat, maker_f32):
+            d = {f"flat_{g}": maker_flat(group)
+                 for g, group in enumerate(groups)}
+            d.update({f"leaf_{i}": maker_f32(leaves[i]) for i in f32_idx})
+            return d
+
+        return AdamWBF16State(
+            step=jnp.zeros((), jnp.int32),
+            exp_avg=tree(flat_zeros, jnp.zeros_like),
+            exp_avg_sq=tree(flat_zeros, jnp.zeros_like),
+            shift=tree(flat_zeros, jnp.zeros_like),
+            accumulated_decay={f"flat_{g}": phases[g]
+                               for g in range(len(groups))},
+            key=jax.random.fold_in(key, 2),
+        )
+
+    def update_flat(grads, state, params):
+        if params is None:
+            raise ValueError("adamw_bf16 requires params")
+        step = state.step + 1
+        cur_lr = lr_schedule(step) if lr_schedule is not None else lr
+        denom_correction = jnp.sqrt(1.0 - beta2 ** step.astype(jnp.float32))
+
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        f32_idx, groups = _partition_flat(p_leaves, flat_groups)
+        new_key, step_key = jax.random.split(state.key)
+        keys = jax.random.split(step_key,
+                                max(len(groups) + len(f32_idx), 1))
+
+        deltas = [None] * len(p_leaves)
+        new_m = dict(state.exp_avg)
+        new_v = dict(state.exp_avg_sq)
+        new_sh = dict(state.shift)
+        new_acc = dict(state.accumulated_decay)
+
+        for g, group in enumerate(groups):
+            name = f"flat_{g}"
+            p_flat = jnp.concatenate([p_leaves[i].ravel() for i in group])
+            g_flat = jnp.concatenate(
+                [g_leaves[i].ravel().astype(jnp.bfloat16) for i in group])
+            delta_flat, m, v, sh, acc = bf16_update(
+                p_flat, g_flat, state.exp_avg[name],
+                state.exp_avg_sq[name], state.shift[name],
+                state.accumulated_decay[name], keys[g], cur_lr,
+                denom_correction)
+            new_m[name], new_v[name], new_sh[name] = m, v, sh
+            new_acc[name] = acc
+            sizes = [p_leaves[i].size for i in group]
+            offsets = np.cumsum(sizes)[:-1]
+            for i, piece in zip(group, jnp.split(delta_flat, offsets)):
+                deltas[i] = piece.reshape(p_leaves[i].shape)
+
+        for j, i in enumerate(f32_idx):
+            name = f"leaf_{i}"
+            m, v = f32_update(p_leaves[i], g_leaves[i],
+                              state.exp_avg[name], state.exp_avg_sq[name])
+            deltas[i] = (-cur_lr * denom_correction) * m \
+                / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p_leaves[i]
+            new_m[name], new_v[name] = m, v
+
+        new_state = AdamWBF16State(
+            step=step, exp_avg=new_m, exp_avg_sq=new_v, shift=new_sh,
+            accumulated_decay=new_acc, key=new_key)
+        return jax.tree_util.tree_unflatten(treedef, deltas), new_state
+
+    if flat_state:
+        return optax.GradientTransformation(init_flat, update_flat)
+    return optax.GradientTransformation(init_per_leaf, update_per_leaf)

@@ -268,3 +268,29 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
     x, _ = jax.lax.scan(euler_step, x, pairs)
     return x
+
+
+def sample_flow(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
+                num_steps: int = 28) -> jnp.ndarray:
+    """Euler ODE sampler for flow-matching-trained models.
+
+    Integrates the optimal-transport probability-flow ODE ``dx/dt = v(x, t)``
+    from t=0 (pure noise) to t=1 (data), matching the training convention of
+    ``flow_matching_loss``: ``x_t = (1-t)x0 + t*x1``, ``v = x1 - x0``, the
+    UNet called with t in [0,1] directly (reference
+    ``flow_matching_trainer.py:392-405``; its own sampler surface was
+    import-dead, so this is the working inverse of that training path).
+
+    ``model_fn(x, t)`` takes a scalar t and returns the (CFG-combined)
+    velocity.  Fixed grid t_i = i/N, dt = 1/N — N model calls, the same
+    budget as the ZTSNR sampler's.
+    """
+    x = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+    dt = 1.0 / num_steps
+    ts = jnp.arange(num_steps, dtype=jnp.float32) * dt
+
+    def euler_step(x, t):
+        return x + dt * model_fn(x, t), None
+
+    x, _ = jax.lax.scan(euler_step, x, ts)
+    return x

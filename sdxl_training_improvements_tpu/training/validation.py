@@ -35,13 +35,29 @@ def latents_to_images(decoded_nchw: jnp.ndarray) -> List["np.ndarray"]:
 
 
 class ValidationSampler:
+    """``method`` selects the sampler matching how the UNet was trained:
+    "ddpm" (v-prediction) -> ZTSNR Karras-Euler; "flow_matching" -> the
+    Euler ODE over the OT path (``schedules.sample_flow``).  Sampling a
+    flow-trained model through the sigma-space sampler (or vice versa) is
+    numerically meaningless, so the method must be threaded from
+    ``config.training.method`` (the loop and pipeline do this)."""
+
     def __init__(self, model, tokenizers, schedule: S.NoiseSchedule,
-                 num_inference_steps: int = 28, guidance_scale: float = 5.0):
+                 num_inference_steps: int = 28, guidance_scale: float = 5.0,
+                 method: str = "ddpm"):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule
         self.num_inference_steps = num_inference_steps
         self.guidance_scale = guidance_scale
+        if method not in ("ddpm", "flow_matching"):
+            # custom registry methods must declare which sampler family
+            # applies; default to the sigma-space sampler with a warning is
+            # NOT safe — fail loudly instead.
+            raise ValueError(
+                f"ValidationSampler supports methods 'ddpm' and "
+                f"'flow_matching', got {method!r}")
+        self.method = method
 
     def _denoiser(self, unet_params, prompt_embeds, pooled, time_ids):
         """model_fn(x, sigma) for the sampler: raw network F(c_in*x, t(sigma))
@@ -61,6 +77,25 @@ class ValidationSampler:
             pred = self.model.unet_apply(unet_params, x2, t, prompt_embeds,
                                          pooled, time_ids)
             uncond, cond = jnp.split(pred.astype(jnp.float32), 2, axis=0)
+            return uncond + guidance * (cond - uncond)
+
+        return fn
+
+    def _flow_denoiser(self, unet_params, prompt_embeds, pooled, time_ids):
+        """model_fn(x, t) -> CFG-combined velocity, t scalar in [0,1].
+
+        The UNet is called with the float time directly — the flow-matching
+        training convention (``methods.flow_matching_loss``; reference
+        ``flow_matching_trainer.py:392-405``)."""
+        guidance = self.guidance_scale
+
+        def fn(x, t):
+            b = x.shape[0]
+            tvec = jnp.full((2 * b,), t, jnp.float32)
+            x2 = jnp.concatenate([x, x], axis=0)
+            v = self.model.unet_apply(unet_params, x2, tvec, prompt_embeds,
+                                      pooled, time_ids)
+            uncond, cond = jnp.split(v.astype(jnp.float32), 2, axis=0)
             return uncond + guidance * (cond - uncond)
 
         return fn
@@ -94,9 +129,14 @@ class ValidationSampler:
         f = self.model.vae.config.downscale_factor
         lat_shape = (n, self.model.unet_config.in_channels,
                      height // f, width // f)
-        model_fn = self._denoiser(unet_params, pe, pooled, time_ids)
-        latents = S.sample_ztsnr(model_fn, key, lat_shape, self.schedule,
-                                 num_steps=self.num_inference_steps)
+        if self.method == "flow_matching":
+            model_fn = self._flow_denoiser(unet_params, pe, pooled, time_ids)
+            latents = S.sample_flow(model_fn, key, lat_shape,
+                                    num_steps=self.num_inference_steps)
+        else:
+            model_fn = self._denoiser(unet_params, pe, pooled, time_ids)
+            latents = S.sample_ztsnr(model_fn, key, lat_shape, self.schedule,
+                                     num_steps=self.num_inference_steps)
         decoded = self.model.decode_latents(latents.astype(jnp.float32))
         return latents_to_images(decoded)
 
@@ -144,21 +184,54 @@ class ValidationLogger:
         return paths
 
 
+# jit cache keyed on the closure identities: validation_loss is called once
+# per epoch and a fresh `@jax.jit` closure each call would retrace every
+# time.  Identity (`is`) matching with strong refs — ids alone could be
+# reused after GC and silently return a jit built over a *different*
+# schedule/config.  Bounded: cleared when trainers churn.
+_VAL_JIT_CACHE: list = []
+
+
+def _jitted_val_loss(loss_fn, unet_apply, schedule, mcfg):
+    objs = (loss_fn, unet_apply, schedule, mcfg)
+    for refs, fn in _VAL_JIT_CACHE:
+        if len(refs) == len(objs) and all(r is o for r, o in zip(refs, objs)):
+            return fn
+    if len(_VAL_JIT_CACHE) > 16:
+        _VAL_JIT_CACHE.clear()
+
+    @jax.jit
+    def jitted(p, batch, k):
+        loss, _ = loss_fn(unet_apply, p, batch, k, schedule, mcfg)
+        return loss
+
+    _VAL_JIT_CACHE.append((objs, jitted))
+    return jitted
+
+
 def validation_loss(unet_apply, params, dataset, schedule, config,
                     key: jax.Array, max_batches: int = 8) -> Optional[float]:
-    """Mean training-method loss over the validation set."""
+    """Mean training-method loss over the validation set.
+
+    Deterministic across calls (epoch-0 batch order, step-indexed rng keys
+    derived from ``key``) so epoch-over-epoch values are comparable — this
+    is what drives best-checkpoint selection when
+    ``data.validation_data_dir`` is set (``SDXLTrainer.train``).  The loss
+    is jitted per batch shape (bucketed datasets produce one executable per
+    resolution, same as training)."""
     from sdxl_training_improvements_tpu.data.pipeline import batches_for_epoch
 
     loss_fn = get_method(config.training.method)
+    mcfg = config.model
+    jitted = _jitted_val_loss(loss_fn, unet_apply, schedule, mcfg)
     losses = []
     for i, batch in enumerate(batches_for_epoch(
             dataset, config.training.batch_size, epoch=0,
             seed=config.training.seed)):
         if i >= max_batches:
             break
-        key, k = jax.random.split(key)
+        # fold_in(i), not split: the same key/batch pairing every call
+        k = jax.random.fold_in(key, i)
         jbatch = {kk: jnp.asarray(v) for kk, v in batch.items()}
-        loss, _ = loss_fn(unet_apply, params, jbatch, k, schedule,
-                          config.model)
-        losses.append(float(loss))
-    return float(np.mean(losses)) if losses else None
+        losses.append(jitted(params, jbatch, k))
+    return float(np.mean(jax.device_get(losses))) if losses else None

@@ -501,3 +501,116 @@ class TestIntegrityIgnoresUnbucketable:
         n = check_shard_integrity(ds, 2, process_count=2,
                                   _allgather=gathered)
         assert n >= 1
+
+
+class TestPartitionAndEphemeralCache:
+    """Round-3 additions: static per-host dataset partitioning (partitioned
+    cache layout) and the ephemeral cache behind the reference's
+    cache-disabling knobs."""
+
+    def test_partition_for_host_equal_counts(self, image_dataset):
+        from sdxl_training_improvements_tpu.data.buckets import (
+            supported_dims_buckets)
+        from sdxl_training_improvements_tpu.data.dataset import (
+            AspectBucketDataset)
+        from sdxl_training_improvements_tpu.data.paths import (
+            load_data_from_directory)
+        cfg, tmp_path = image_dataset
+        paths, captions = load_data_from_directory(cfg.data.train_data_dir)
+        shards = []
+        for shard in range(2):
+            ds = AspectBucketDataset(cfg, paths, captions, None,
+                                     buckets=supported_dims_buckets(cfg))
+            ds.partition_for_host(2, shard)
+            shards.append(ds)
+        # equal per-bucket counts across hosts (batch-count equality)
+        for key in set(shards[0].bucket_indices) | set(
+                shards[1].bucket_indices):
+            assert len(shards[0].bucket_indices.get(key, [])) == \
+                len(shards[1].bucket_indices.get(key, []))
+        # disjoint assignments
+        flat = [set(i for v in ds.bucket_indices.values() for i in v)
+                for ds in shards]
+        assert not (flat[0] & flat[1])
+        # deterministic / static: same partition again
+        ds2 = AspectBucketDataset(cfg, paths, captions, None,
+                                  buckets=supported_dims_buckets(cfg))
+        ds2.partition_for_host(2, 0)
+        assert ds2.bucket_indices == shards[0].bucket_indices
+
+    def test_partition_idempotent_and_validated(self, image_dataset):
+        from sdxl_training_improvements_tpu.data.buckets import (
+            supported_dims_buckets)
+        from sdxl_training_improvements_tpu.data.dataset import (
+            AspectBucketDataset)
+        from sdxl_training_improvements_tpu.data.paths import (
+            load_data_from_directory)
+        cfg, _ = image_dataset
+        paths, captions = load_data_from_directory(cfg.data.train_data_dir)
+        ds = AspectBucketDataset(cfg, paths, captions, None,
+                                 buckets=supported_dims_buckets(cfg))
+        ds.partition_for_host(2, 1)
+        ds.partition_for_host(2, 1)  # idempotent
+        with pytest.raises(ValueError, match="already partitioned"):
+            ds.partition_for_host(2, 0)
+        with pytest.raises(ValueError, match="not in"):
+            AspectBucketDataset(cfg, paths, captions, None,
+                                buckets=supported_dims_buckets(cfg)
+                                ).partition_for_host(2, 5)
+
+    def test_cache_persistence_knobs(self):
+        cfg = Config()
+        assert cfg.global_config.cache.persistent is True
+        cfg.global_config.cache.cache_latents = False
+        assert cfg.global_config.cache.persistent is False
+
+    def test_cache_latents_false_gets_ephemeral_cache(self, image_dataset):
+        """The reference's cache-less mode: precompute still runs, into a
+        per-run temp cache — the knob DOES something (round-3 verdict #8)."""
+        from sdxl_training_improvements_tpu.data.dataset import create_dataset
+        cfg, tmp_path = image_dataset
+        cfg.global_config.cache.use_cache = False
+        ds = create_dataset(cfg)
+        assert ds.cache is not None
+        cache_dir = str(ds.cache.cache_dir)
+        assert "sdxl_tpu_ephemeral_cache_" in cache_dir
+        assert str(tmp_path) not in cache_dir  # not the configured dir
+
+        def enc_i(px):
+            b, c, h, w = px.shape
+            return px.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))[:, :4]
+
+        def enc_p(caps):
+            return {"prompt_embeds": np.zeros((len(caps), 77, 32),
+                                              np.float32),
+                    "pooled_prompt_embeds": np.zeros((len(caps), 16),
+                                                     np.float32)}
+
+        assert ds.precompute(enc_i, enc_p, batch_size=2) == 5
+        batch = ds.get_batch(next(iter(ds.make_sampler(batch_size=2))))
+        assert batch is not None and batch["vae_latents"].shape[0] == 2
+
+
+class TestBF16CacheRoundTrip:
+    def test_bf16_arrays_roundtrip_as_float32(self, tmp_path):
+        """bf16 encoder outputs must survive the npz round trip (stored
+        fp32); pre-fix entries (void dtype) read as a miss, not a crash."""
+        import jax.numpy as jnp
+        from sdxl_training_improvements_tpu.data.cache import CacheManager
+        cm = CacheManager(tmp_path / "c")
+        cm.save_latents(
+            "k1",
+            vae_latents=np.zeros((4, 8, 8), np.float32),
+            time_ids=np.zeros((6,), np.float32),
+            prompt_embeds=jnp.ones((77, 32), jnp.bfloat16),
+            pooled_prompt_embeds=jnp.ones((16,), jnp.bfloat16))
+        out = cm.load_latents("k1")
+        assert out is not None
+        assert out["prompt_embeds"].dtype == np.float32
+        np.testing.assert_array_equal(out["prompt_embeds"], 1.0)
+        # poisoned legacy entry -> miss
+        import ml_dtypes
+        raw = np.ones((4,), ml_dtypes.bfloat16)
+        with open(cm.vae_dir / "k2.npz", "wb") as f:
+            np.savez(f, vae_latents=raw, time_ids=raw)
+        assert cm.load_latents("k2") is None

@@ -282,6 +282,84 @@ class TestValidationInTraining:
         assert pngs, "no validation images produced"
 
 
+class TestValidationLossWiring:
+    """``data.validation_data_dir`` drives a held-out loss at epoch end and
+    best-checkpoint selection follows it (round-3 closure of the dead
+    ``validation_loss`` surface)."""
+
+    def _val_dir(self, tmp_path):
+        from PIL import Image
+        rng = np.random.default_rng(7)
+        val_dir = tmp_path / "val_imgs"
+        val_dir.mkdir()
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                            ).save(val_dir / f"v{i}.png")
+            (val_dir / f"v{i}.txt").write_text(f"val caption {i}")
+        return val_dir
+
+    def test_no_val_dir_means_none(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "nv"), use_mesh=False)
+        assert trainer.prepare_validation_data() is None
+
+    def test_val_loss_integration(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg.data.validation_data_dir = [str(self._val_dir(tmp_path))]
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "vl"), use_mesh=False)
+        trainer.prepare_data()
+        val_ds = trainer.prepare_validation_data()
+        assert val_ds is not None and len(val_ds) == 2
+        # held-out entries precomputed into their own cache subdir
+        assert val_ds.cache is not None
+        assert val_ds.cache.is_cached(val_ds.image_paths[0])
+        v = trainer.run_validation_loss(val_ds)
+        assert v is not None and np.isfinite(v)
+        # deterministic: same params -> same value
+        assert trainer.run_validation_loss(val_ds) == v
+
+    def test_best_checkpoint_follows_val_loss(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg.data.validation_data_dir = [str(self._val_dir(tmp_path))]
+        out = tmp_path / "vbest"
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(out), use_mesh=False)
+        trainer.prepare_data()
+        vals = iter([5.0, 0.125])
+        seen = []
+
+        def fake(val_ds):
+            seen.append(val_ds)
+            return next(vals)
+
+        trainer.run_validation_loss = fake
+        trainer.train(num_epochs=2)
+        assert len(seen) == 2  # once per epoch, real val dataset built
+        assert seen[0] is not None
+        # best tracks the injected val sequence, not the train loss
+        assert trainer.best_loss == 0.125
+        assert (out / "best_checkpoint" / "state").exists()
+        meta = json.loads(
+            (out / "best_checkpoint" / "trainer_state.json").read_text())
+        assert meta["best_loss"] == 0.125
+
+    def test_custom_method_skips_images_not_loss(self, trainer_setup):
+        cfg, model, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        cfg.training.method = "example_method"
+        cfg.data.validation_prompts = ["p"]
+        trainer = SDXLTrainer(cfg, model=model, dataset=ds,
+                              output_dir=str(tmp_path / "cm"), use_mesh=False)
+        trainer.run_validation_images()  # warns + returns, must not raise
+        pngs = list((tmp_path / "cm").glob("validation-*/*.png"))
+        assert not pngs
+
+
 class TestGenerateCLI:
     def test_generate_from_exported_checkpoint(self, trainer_setup, tmp_path):
         """Export a checkpoint, then sample through the generate CLI."""

@@ -67,11 +67,11 @@ class TestDtypePolicyWiring:
 
     def test_remat_and_pallas_toggles_reach_unet_config(self):
         from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
-        m_on = SDXLModel.create(tiny=True, remat=True, use_pallas=True)
-        m_off = SDXLModel.create(tiny=True, remat=False, use_pallas=False)
-        assert m_on.unet.config.remat and m_on.unet.config.use_pallas
+        m_on = SDXLModel.create(tiny=True, remat=True, attn_impl="auto")
+        m_off = SDXLModel.create(tiny=True, remat=False, attn_impl="xla")
+        assert m_on.unet.config.remat and m_on.unet.config.attn_impl == "auto"
         assert not m_off.unet.config.remat
-        assert not m_off.unet.config.use_pallas
+        assert m_off.unet.config.attn_impl == "xla"
         # None keeps the architecture default (tiny: both off)
         m_def = SDXLModel.create(tiny=True)
         assert not m_def.unet.config.remat
@@ -108,7 +108,7 @@ class TestDtypePolicyWiring:
         cfg.model.pretrained_model_name = "/nonexistent"
         cfg.training.mixed_precision = "no"
         cfg.tpu.remat = False
-        cfg.tpu.use_pallas_attention = False
+        cfg.tpu.attention_impl = "xla"
         cfg.global_config.logging.log_dir = str(tmp_path)
         loader = SDXLTrainer._load_model
 
@@ -122,7 +122,7 @@ class TestDtypePolicyWiring:
         model = loader(Shim())
         assert model.unet.dtype == jnp.float32
         assert not model.unet.config.remat
-        assert not model.unet.config.use_pallas
+        assert model.unet.config.attn_impl == "xla"
 
 
 class TestPackageAPI:

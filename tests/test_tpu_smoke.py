@@ -92,7 +92,7 @@ def test_pallas_flash_dispatch_gate(tpu):
         attention._flash_available.cache_clear()
         if not attention._flash_available():
             pytest.skip("flash kernel unavailable on this backend")
-        out = attention.dot_product_attention(q, q, q, use_pallas=True)
+        out = attention.dot_product_attention(q, q, q, impl="flash")
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32), atol=2e-2)
     finally:

@@ -1,0 +1,211 @@
+"""Round-3 measurement sweep on the real TPU chip.
+
+Runs the A/B experiments behind the round-3 perf work and records each
+result incrementally to ``outputs/measure_r3.json``:
+
+* optimizer variants at full 2.567B-param scale (resident chunks):
+  per-leaf/rbg (round-2 baseline), per-leaf/hash, flat/hash, flat/rbg —
+  quantifies the PRNG-materialisation traffic and per-leaf fragmentation.
+* fwd+bwd configurations: batch-4 with chunked attention (the measured
+  round-2 OOM case) under remat off / dots_nobatch / full, batch-1
+  baselines with xla and chunked attention.
+
+Usage (TPU, from the repo root — keep the axon PYTHONPATH intact):
+    PYTHONPATH="/root/repo:$PYTHONPATH" python tools/measure_r3.py [phase...]
+Phases default to all of: opt b4 b1 extra
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+try:  # persistent compile cache: repeat runs skip remote compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
+OUT = "/root/repo/outputs/measure_r3.json"
+
+
+def log(msg):
+    print(f"[measure {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def record(key, value):
+    data = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            data = json.load(f)
+    data[key] = value
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=1)
+    log(f"recorded {key} = {value}")
+
+
+def bench_fwd_bwd_cfg(batch, remat, remat_policy, attn_impl, steps=10,
+                      warmup=3, hw=128):
+    from bench import bench_fwd_bwd
+    from sdxl_training_improvements_tpu.models.unet import UNetConfig
+    cfg = UNetConfig.sdxl(remat=remat, remat_policy=remat_policy,
+                          attn_impl=attn_impl)
+    return bench_fwd_bwd(cfg, batch, hw, steps, warmup)
+
+
+OPT_VARIANTS = {
+    "flat_hash": dict(flat_state=True, noise="hash"),
+    "perleaf_hash": dict(flat_state=False, noise="hash"),
+    "flat_rbg": dict(flat_state=True, noise="rbg"),
+    "perleaf_rbg": dict(flat_state=False, noise="rbg"),
+}
+
+
+def phase_opt(which=None):
+    """Optimizer A/B at full scale (3 resident chunks)."""
+    from bench import bench_optimizer_full_scale
+    from sdxl_training_improvements_tpu.models.unet import UNetConfig
+    from sdxl_training_improvements_tpu.training.optimizers import adamw_bf16
+
+    cfg = UNetConfig.sdxl()
+    names = [which] if which else list(OPT_VARIANTS)
+    for vname in names:
+        kw = OPT_VARIANTS[vname]
+        name = f"opt_{vname}_ms"
+        try:
+            log(f"optimizer variant {name} ...")
+            t, n = bench_optimizer_full_scale(
+                cfg, 128, n_chunks=3,
+                make_opt=lambda: adamw_bf16(lr=4e-7, weight_decay=0.01, **kw))
+            record(name, round(t * 1e3, 2))
+            record("opt_params", n)
+        except Exception as e:
+            traceback.print_exc()
+            record(name, f"FAILED: {e!r}")
+
+
+FWD_CASES = {
+    "b4_dotsnobatch_chunked_ms": dict(batch=4, remat=True,
+                                      remat_policy="dots_nobatch",
+                                      attn_impl="chunked", steps=6, warmup=2),
+    "b4_nomat_chunked_ms": dict(batch=4, remat=False, remat_policy="full",
+                                attn_impl="chunked", steps=6, warmup=2),
+    "b1_nomat_xla_ms": dict(batch=1, remat=False, remat_policy="full",
+                            attn_impl="xla", steps=10, warmup=3),
+    "b1_nomat_chunked_ms": dict(batch=1, remat=False, remat_policy="full",
+                                attn_impl="chunked", steps=10, warmup=3),
+    "b4_full_remat_xla_ms": dict(batch=4, remat=True, remat_policy="full",
+                                 attn_impl="xla", steps=6, warmup=2),
+}
+
+
+def run_fwd_case(name):
+    kw = FWD_CASES[name]
+    try:
+        log(f"fwd+bwd {name} ...")
+        t = bench_fwd_bwd_cfg(**kw)
+        record(name, round(t * 1e3, 1))
+    except Exception as e:
+        traceback.print_exc()
+        record(name, f"FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
+def phase_b4():
+    """The verdict case: batch 4 @1024^2 without full remat."""
+    run_fwd_case("b4_dotsnobatch_chunked_ms")
+    run_fwd_case("b4_nomat_chunked_ms")
+
+
+def phase_b1():
+    run_fwd_case("b1_nomat_xla_ms")
+    run_fwd_case("b1_nomat_chunked_ms")
+
+
+def phase_extra():
+    run_fwd_case("b4_full_remat_xla_ms")
+
+
+def phase_noise():
+    """Micro-bench of noise-source candidates for the SR optimizer over
+    2^28 elements, consumed by an xor-reduce.  The seed/key is a TRACED
+    argument so nothing constant-folds.  Separates TPU int-multiply cost
+    (emulated on the VPU) from the rng-bit-generator HLO (rbg impl) and
+    threefry (jax's default key impl, int-multiply heavy)."""
+    from sdxl_training_improvements_tpu.ops.stochastic import counter_noise
+    n = 1 << 28
+
+    def reduce(x):
+        return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
+
+    def lowbias(seed):
+        return reduce(counter_noise(seed, n))
+
+    def xorshift(seed):
+        x = jax.lax.iota(jnp.uint32, n) ^ seed
+        x ^= x << 13; x ^= x >> 17; x ^= x << 5
+        x ^= x << 7; x ^= x >> 11; x ^= x << 3
+        x ^= x >> 16
+        return reduce(x)
+
+    def mul4(seed):
+        x = jax.lax.iota(jnp.uint32, n) ^ seed
+        for c in (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F):
+            x = x * jnp.uint32(c)
+        return reduce(x)
+
+    def rbg_bits2(key):
+        raw = jax.random.bits(key, (2, n), jnp.uint32)
+        return reduce(raw[0] ^ raw[1])
+
+    def rbg_bits1(key):
+        return reduce(jax.random.bits(key, (n,), jnp.uint32))
+
+    import time as _t
+    seed = jnp.uint32(3)
+    cases = [("lowbias", lowbias, seed), ("xorshift", xorshift, seed),
+             ("mul4", mul4, seed),
+             ("rbg2", rbg_bits2, jax.random.key(0, impl="rbg")),
+             ("rbg1", rbg_bits1, jax.random.key(0, impl="rbg")),
+             ("threefry2", rbg_bits2, jax.random.key(0)),
+             ]
+    for name, fn, arg in cases:
+        try:
+            jf = jax.jit(fn)
+            out = jf(arg); jax.block_until_ready(out)
+            t0 = _t.perf_counter()
+            for _ in range(5):
+                out = jf(arg)
+            jax.block_until_ready(out)
+            record(f"noise_{name}_ms_per_2e28",
+                   round((_t.perf_counter() - t0) / 5 * 1e3, 2))
+        except Exception as e:
+            record(f"noise_{name}_ms_per_2e28", f"FAILED: {e!r}")
+
+
+def main():
+    assert jax.default_backend() != "cpu", "this sweep must run on the TPU"
+    log(f"devices: {jax.devices()}")
+    phases = sys.argv[1:] or ["opt", "b4", "b1", "extra"]
+    for p in phases:
+        log(f"=== phase {p} ===")
+        if p.startswith("opt:"):
+            phase_opt(p.split(":", 1)[1])
+            continue
+        if p.startswith("fwd:"):
+            run_fwd_case(p.split(":", 1)[1])
+            continue
+        {"opt": phase_opt, "b4": phase_b4, "b1": phase_b1,
+         "extra": phase_extra, "noise": phase_noise}[p]()
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

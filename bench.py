@@ -7,8 +7,8 @@ What the reference actually times is the FULL step — fwd+bwd+clip+optimizer
 
 * **fwd+bwd** — SDXL UNet at 1024^2-equivalent latents (128x128x4), bf16,
   v-prediction ZTSNR loss with MinSNR weighting + global-norm computation.
-* **optimizer** — the real bf16-SR AdamW update (``adamw_bf16``, flat-state
-  + fused-hash-noise production path, donation on) over ALL 2.567B params,
+* **optimizer** — the real bf16-SR AdamW update (``adamw_bf16``, per-leaf
+  production path, donation on) over ALL 2.567B params,
   measured at full scale in K resident chunks: params+grads+3x state for
   the whole model is ~26 GB, which exceeds this dev chip's 16 GB HBM
   (production target is v5p 95GB), and the tunneled host<->device link
@@ -162,10 +162,10 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
         buckets[j].append(i)
         loads[j] += leaves[i].size * leaves[i].dtype.itemsize
 
-    # production default: flat state + fused-hash noise (the measured fast
-    # path; tools/measure_r3.py A/Bs the variants)
+    # production default: per-leaf state (flat packing measured 3.5x
+    # SLOWER at full scale — TPU tiled-layout relayouts; measure_r3.json)
     opt = (make_opt() if make_opt is not None
-           else adamw_bf16(lr=4e-7, weight_decay=0.01, flat_state=True))
+           else adamw_bf16(lr=4e-7, weight_decay=0.01))
     total_sec = 0.0
     for bucket in buckets:
         sub_shapes = {str(i): leaves[i] for i in bucket}
@@ -323,7 +323,7 @@ def main():
 
     mkcfg = UNetConfig.sdxl if on_tpu else UNetConfig.tiny
 
-    log("optimizer phase: full-scale bf16-SR update (flat/hash, chunked)...")
+    log("optimizer phase: full-scale bf16-SR update (chunked)...")
     t_opt = n_params = None
     opt_err = None
     try:
@@ -396,7 +396,7 @@ def main():
         "chip": chip,
         "optimizer_ms": round(t_opt * 1e3, 2) if t_opt else opt_err,
         "optimizer_params": n_params,
-        "optimizer_variant": "adamw_bf16 flat_state + fused hash noise",
+        "optimizer_variant": "adamw_bf16 per-leaf bf16-SR",
         "configs": rows,
         "composition": (
             f"per row: fwd_bwd(+grad-norm) + bf16-SR-AdamW update/"

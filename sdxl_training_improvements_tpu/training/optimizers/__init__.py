@@ -51,21 +51,27 @@ def make_optimizer(config) -> optax.GradientTransformation:
 def resolve_flat_state(tpu_cfg) -> bool:
     """Resolve ``tpu.flat_optimizer`` ("auto"|"on"|"off").
 
-    "auto" enables the flat adamw_bf16 state only when params are fully
-    replicated: no fsdp param sharding and no tensor axis in the mesh —
-    per-leaf state is what the sharding rules (``parallel/mesh.py``) apply
-    to, so model-sharded runs keep the per-leaf layout."""
+    "auto" resolves to OFF: flat packing was implemented and measured at
+    full 2.567B-param scale and LOST — ~500 ms vs 141.5 ms per-leaf on v5e
+    (outputs/measure_r3.json; docs/performance.md) because ravelling TPU
+    tiled layouts into 1-D buffers forces relayout copies that swamp the
+    dispatch savings.  The option stays for A/B measurement ("on") and is
+    rejected under model sharding either way (per-leaf state is what the
+    sharding rules apply to)."""
     if tpu_cfg is None:
         return False
     choice = str(getattr(tpu_cfg, "flat_optimizer", "off")).lower()
-    if choice in ("on", "true"):
-        return True
-    if choice in ("off", "false"):
-        return False
+    if choice not in ("on", "true"):
+        return False  # "auto" and "off" both resolve to per-leaf
     mesh_shape = getattr(tpu_cfg, "mesh_shape", None)
     tensor_sharded = bool(mesh_shape) and len(mesh_shape) >= 3 \
         and mesh_shape[2] > 1
-    return not getattr(tpu_cfg, "shard_params", False) and not tensor_sharded
+    if getattr(tpu_cfg, "shard_params", False) or tensor_sharded:
+        raise ValueError(
+            "tpu.flat_optimizer=on cannot be combined with model sharding "
+            "(tpu.shard_params / a tensor mesh axis): the per-leaf sharding "
+            "rules do not apply to flat buffers.")
+    return True
 
 
 def _make_base(oc, flat_state: bool = False) -> optax.GradientTransformation:

@@ -99,17 +99,28 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                weight_decay: float = 0.0, seed: int = 0,
                lr_schedule=None, prng_impl: str = "rbg",
                flat_state: bool = False, flat_groups: int = 8,
-               noise: Optional[str] = None
+               noise: Optional[str] = None, layout: Optional[str] = None
                ) -> optax.GradientTransformation:
     """Build the transform.  ``update(grads, state, params)`` returns the
     *delta* to add to params (optax convention: ``p += updates``).
 
-    ``noise`` defaults to "hash" for ``flat_state`` and "rbg" otherwise
+    ``layout`` selects the state packing: "per_leaf" (default; the
+    reference-faithful layout the sharding rules apply to), "flat"
+    (contiguous 1-D buffers — measured SLOWER on TPU, kept for A/B:
+    ravelling tiled layouts forces relayout copies), or "stacked"
+    (same-shape leaves stacked along a new leading axis — relayout-free
+    kernel-count reduction; per-leaf decay phases preserved as a vector).
+    ``flat_state=True`` is legacy shorthand for layout="flat".
+
+    ``noise`` defaults to "hash" for flat/stacked and "rbg" for per-leaf
     (the per-leaf rbg stream is what the bit-parity suite pins against the
     reference's kernels; tests/test_reference_parity.py)."""
     beta1, beta2 = betas
-    noise_mode = noise if noise is not None else ("hash" if flat_state
-                                                  else "rbg")
+    layout = layout or ("flat" if flat_state else "per_leaf")
+    if layout not in ("per_leaf", "flat", "stacked"):
+        raise ValueError(f"layout must be per_leaf|flat|stacked, got {layout!r}")
+    noise_mode = noise if noise is not None else (
+        "rbg" if layout == "per_leaf" else "hash")
     if noise_mode not in ("rbg", "hash"):
         raise ValueError(f"noise must be 'rbg' or 'hash', got {noise_mode!r}")
 
@@ -133,7 +144,9 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
         returns (delta, m, v, shift, acc)."""
         from sdxl_training_improvements_tpu.ops.fused_adamw import (
             fused_adamw_enabled, fused_adamw_update)
-        if fused_adamw_enabled():
+        # the fused kernel takes a scalar decay amount (per-leaf/flat);
+        # the stacked layout carries a per-slice vector -> XLA path
+        if fused_adamw_enabled() and jnp.ndim(acc_decay) == 0:
             # single-pass Pallas kernel: whole m->v->shift->p chain in
             # one HBM residency with in-register RNG (ops/fused_adamw)
             acc = acc_decay + weight_decay * cur_lr
@@ -314,6 +327,101 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             accumulated_decay=new_acc, key=new_key)
         return jax.tree_util.tree_unflatten(treedef, deltas), new_state
 
-    if flat_state:
+    # ============================================================= stacked
+    def _partition_stacked(leaves):
+        """Same-shape bf16 leaves grouped (deterministic order); f32 leaves
+        stay per-leaf.  Stacking along a NEW leading axis keeps each
+        slice's tiled layout intact — no relayout, unlike "flat"."""
+        f32_idx = [i for i, l in enumerate(leaves)
+                   if l.dtype == jnp.float32]
+        by_shape = {}
+        for i, l in enumerate(leaves):
+            if l.dtype == jnp.bfloat16:
+                by_shape.setdefault(tuple(l.shape), []).append(i)
+        groups = [by_shape[k] for k in sorted(by_shape)]
+        return f32_idx, groups
+
+    def init_stacked(params):
+        leaves, _ = jax.tree_util.tree_flatten(params)
+        _validate(leaves)
+        f32_idx, groups = _partition_stacked(leaves)
+        key = jax.random.key(seed, impl=prng_impl)
+        n_leaves = max(len(leaves), 1)
+        # per-LEAF decay phases, exactly like the per-leaf layout
+        phases = jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (n_leaves,), jnp.float32) * DECAY_THRESHOLD
+
+        def tree(maker_stack, maker_f32):
+            d = {f"stack_{j}": maker_stack(group)
+                 for j, group in enumerate(groups)}
+            d.update({f"leaf_{i}": maker_f32(leaves[i]) for i in f32_idx})
+            return d
+
+        def zeros_stack(group):
+            return jnp.zeros((len(group),) + tuple(leaves[group[0]].shape),
+                             jnp.bfloat16)
+
+        return AdamWBF16State(
+            step=jnp.zeros((), jnp.int32),
+            exp_avg=tree(zeros_stack, jnp.zeros_like),
+            exp_avg_sq=tree(zeros_stack, jnp.zeros_like),
+            shift=tree(zeros_stack, jnp.zeros_like),
+            accumulated_decay={f"stack_{j}": phases[jnp.asarray(group)]
+                               for j, group in enumerate(groups)},
+            key=jax.random.fold_in(key, 2),
+        )
+
+    def update_stacked(grads, state, params):
+        if params is None:
+            raise ValueError("adamw_bf16 requires params")
+        step = state.step + 1
+        cur_lr = lr_schedule(step) if lr_schedule is not None else lr
+        denom_correction = jnp.sqrt(1.0 - beta2 ** step.astype(jnp.float32))
+
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        f32_idx, groups = _partition_stacked(p_leaves)
+        new_key, step_key = jax.random.split(state.key)
+        keys = jax.random.split(step_key, max(len(groups), 1))
+
+        deltas = [None] * len(p_leaves)
+        new_m = dict(state.exp_avg)
+        new_v = dict(state.exp_avg_sq)
+        new_sh = dict(state.shift)
+        new_acc = dict(state.accumulated_decay)
+
+        for j, group in enumerate(groups):
+            name = f"stack_{j}"
+            k = len(group)
+            bshape = (k,) + (1,) * p_leaves[group[0]].ndim
+            p_st = jnp.stack([p_leaves[i] for i in group])
+            g_st = jnp.stack([g_leaves[i].astype(jnp.bfloat16)
+                              for i in group])
+            acc_b = state.accumulated_decay[name].reshape(bshape)
+            delta_st, m, v, sh, acc_b = bf16_update(
+                p_st, g_st, state.exp_avg[name], state.exp_avg_sq[name],
+                state.shift[name], acc_b, keys[j], cur_lr,
+                denom_correction)
+            new_m[name], new_v[name], new_sh[name] = m, v, sh
+            new_acc[name] = acc_b.reshape((k,))
+            for row, i in enumerate(group):
+                deltas[i] = delta_st[row]
+
+        for i in f32_idx:
+            name = f"leaf_{i}"
+            m, v = f32_update(p_leaves[i], g_leaves[i],
+                              state.exp_avg[name], state.exp_avg_sq[name])
+            deltas[i] = (-cur_lr * denom_correction) * m \
+                / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p_leaves[i]
+            new_m[name], new_v[name] = m, v
+
+        new_state = AdamWBF16State(
+            step=step, exp_avg=new_m, exp_avg_sq=new_v, shift=new_sh,
+            accumulated_decay=new_acc, key=new_key)
+        return jax.tree_util.tree_unflatten(treedef, deltas), new_state
+
+    if layout == "flat":
         return optax.GradientTransformation(init_flat, update_flat)
+    if layout == "stacked":
+        return optax.GradientTransformation(init_stacked, update_stacked)
     return optax.GradientTransformation(init_per_leaf, update_per_leaf)

@@ -234,22 +234,24 @@ class TestAdamWBF16Flat:
         assert float(jnp.mean(params["w"].astype(jnp.float32))) < 0.9
 
     def test_resolve_flat_state(self):
+        """auto resolves OFF (flat measured 3.5x slower at full scale:
+        TPU tiled-layout relayouts); "on" is the A/B escape hatch and is
+        rejected under model sharding."""
         from sdxl_training_improvements_tpu.training.optimizers import (
             resolve_flat_state)
         cfg = Config()
-        assert resolve_flat_state(cfg.tpu) is True  # default: replicated
-        cfg.tpu.shard_params = True
-        assert resolve_flat_state(cfg.tpu) is False
-        cfg.tpu.shard_params = False
-        cfg.tpu.mesh_shape = [2, 1, 4]
-        assert resolve_flat_state(cfg.tpu) is False  # tensor sharded
-        cfg.tpu.mesh_shape = [8, 1, 1]
-        assert resolve_flat_state(cfg.tpu) is True
+        assert resolve_flat_state(cfg.tpu) is False  # auto -> per-leaf
         cfg.tpu.flat_optimizer = "off"
         assert resolve_flat_state(cfg.tpu) is False
         cfg.tpu.flat_optimizer = "on"
-        cfg.tpu.shard_params = True
         assert resolve_flat_state(cfg.tpu) is True
+        cfg.tpu.shard_params = True
+        with pytest.raises(ValueError, match="model sharding"):
+            resolve_flat_state(cfg.tpu)
+        cfg.tpu.shard_params = False
+        cfg.tpu.mesh_shape = [2, 1, 4]
+        with pytest.raises(ValueError, match="model sharding"):
+            resolve_flat_state(cfg.tpu)
 
     def test_make_optimizer_threads_flat(self):
         cfg = Config()
@@ -495,3 +497,68 @@ class TestEMA:
         assert not all(
             np.array_equal(np.asarray(a), np.asarray(b))
             for a, b in zip(leaves_ev, leaves_p))
+
+
+class TestAdamWBF16Stacked:
+    """Stacked layout: same-shape leaves stacked on a new leading axis —
+    kernel-count reduction without the flat layout's relayout penalty,
+    and per-leaf decay phases preserved exactly."""
+
+    def _tree(self):
+        return {
+            "a": jnp.ones((8, 4), jnp.bfloat16),
+            "b": jnp.full((8, 4), 0.5, jnp.bfloat16),   # same shape as a
+            "c": jnp.full((16,), -0.25, jnp.bfloat16),
+            "s": jnp.ones((4,), jnp.float32),
+        }
+
+    def test_state_layout(self):
+        opt = adamw_bf16(lr=0.1, layout="stacked")
+        state = opt.init(self._tree())
+        stacks = {k: v for k, v in state.exp_avg.items()
+                  if k.startswith("stack_")}
+        shapes = sorted(tuple(v.shape) for v in stacks.values())
+        assert shapes == [(1, 16), (2, 8, 4)]  # a+b stacked, c alone
+        assert "leaf_3" in state.exp_avg  # the f32 leaf, per-leaf
+        for k, v in state.accumulated_decay.items():
+            assert v.ndim == 1  # per-leaf phase vector
+
+    def test_single_step_matches_per_leaf_within_sr_ulp(self):
+        import optax
+        tree = self._tree()
+        g = jax.tree.map(lambda p: jnp.full(p.shape, 0.1, p.dtype), tree)
+        results = {}
+        for name, opt in [
+                ("leaf", adamw_bf16(lr=0.05, seed=0)),
+                ("stacked", adamw_bf16(lr=0.05, seed=0, layout="stacked"))]:
+            state = opt.init(tree)
+            upd, _ = opt.update(g, state, tree)
+            results[name] = optax.apply_updates(tree, upd)
+        for x, y in zip(jax.tree.leaves(results["leaf"]),
+                        jax.tree.leaves(results["stacked"])):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                atol=2e-2)
+
+    @pytest.mark.parametrize("noise", ["hash", "rbg"])
+    def test_converges_on_quadratic(self, noise):
+        opt = adamw_bf16(lr=0.05, seed=0, layout="stacked", noise=noise)
+        losses, _ = quadratic_losses(opt, jnp.bfloat16, steps=300)
+        assert losses[-1] < 0.01 * losses[0]
+
+    def test_weight_decay_fires_per_leaf_phase(self):
+        import optax
+        opt = adamw_bf16(lr=0.1, weight_decay=0.5, seed=1, layout="stacked")
+        params = {"w": jnp.full((16,), 1.0, jnp.bfloat16),
+                  "w2": jnp.full((16,), 1.0, jnp.bfloat16)}
+        state = opt.init(params)
+        for _ in range(40):
+            g = jax.tree.map(jnp.zeros_like, params)
+            upd, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, upd)
+        assert float(jnp.mean(params["w"].astype(jnp.float32))) < 0.9
+        assert float(jnp.mean(params["w2"].astype(jnp.float32))) < 0.9
+
+    def test_bad_layout_rejected(self):
+        with pytest.raises(ValueError, match="layout"):
+            adamw_bf16(layout="bogus")

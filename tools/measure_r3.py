@@ -62,10 +62,12 @@ def bench_fwd_bwd_cfg(batch, remat, remat_policy, attn_impl, steps=10,
 
 
 OPT_VARIANTS = {
-    "flat_hash": dict(flat_state=True, noise="hash"),
-    "perleaf_hash": dict(flat_state=False, noise="hash"),
-    "flat_rbg": dict(flat_state=True, noise="rbg"),
-    "perleaf_rbg": dict(flat_state=False, noise="rbg"),
+    "flat_hash": dict(layout="flat", noise="hash"),
+    "perleaf_hash": dict(layout="per_leaf", noise="hash"),
+    "flat_rbg": dict(layout="flat", noise="rbg"),
+    "perleaf_rbg": dict(layout="per_leaf", noise="rbg"),
+    "stacked_hash": dict(layout="stacked", noise="hash"),
+    "stacked_rbg": dict(layout="stacked", noise="rbg"),
 }
 
 

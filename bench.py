@@ -162,10 +162,11 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
         buckets[j].append(i)
         loads[j] += leaves[i].size * leaves[i].dtype.itemsize
 
-    # production default: per-leaf state (flat packing measured 3.5x
-    # SLOWER at full scale — TPU tiled-layout relayouts; measure_r3.json)
+    # production default: per-leaf state + fused hash noise (the measured
+    # winner: 127ms vs 141.5ms rbg; flat/stacked packings measured slower —
+    # TPU tiled-layout relayouts / stack copies; outputs/measure_r3.json)
     opt = (make_opt() if make_opt is not None
-           else adamw_bf16(lr=4e-7, weight_decay=0.01))
+           else adamw_bf16(lr=4e-7, weight_decay=0.01, noise="hash"))
     total_sec = 0.0
     for bucket in buckets:
         sub_shapes = {str(i): leaves[i] for i in bucket}
@@ -396,7 +397,7 @@ def main():
         "chip": chip,
         "optimizer_ms": round(t_opt * 1e3, 2) if t_opt else opt_err,
         "optimizer_params": n_params,
-        "optimizer_variant": "adamw_bf16 per-leaf bf16-SR",
+        "optimizer_variant": "adamw_bf16 per-leaf bf16-SR + fused hash noise",
         "configs": rows,
         "composition": (
             f"per row: fwd_bwd(+grad-norm) + bf16-SR-AdamW update/"

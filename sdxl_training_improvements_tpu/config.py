@@ -289,6 +289,11 @@ class TPUConfig:
     # enables it whenever params are replicated (no fsdp/tensor sharding,
     # where per-leaf sharding rules must apply); "on"/"off" force.
     flat_optimizer: str = "auto"
+    # stochastic-rounding noise source for adamw_bf16: "hash" (fused
+    # counter hash, zero HBM traffic — measured 127ms vs 141.5ms for "rbg"
+    # over the full 2.567B params) or "rbg" (materialised jax.random.bits
+    # planes, the stream the bit-parity suite pins).
+    sr_noise: str = "hash"
     donate_state: bool = True
     profile_dir: Optional[str] = None
 
@@ -302,6 +307,9 @@ class TPUConfig:
             raise ValueError(
                 f"tpu.flat_optimizer must be one of auto|on|off, "
                 f"got {self.flat_optimizer!r}")
+        if self.sr_noise not in ("hash", "rbg"):
+            raise ValueError(
+                f"tpu.sr_noise must be hash|rbg, got {self.sr_noise!r}")
 
 
 @dataclass

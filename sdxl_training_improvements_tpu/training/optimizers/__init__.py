@@ -44,7 +44,8 @@ def make_optimizer(config) -> optax.GradientTransformation:
             "EMA of the y training iterate would shadow that recovery with "
             "ill-defined weights. Disable one of the two.")
     tpu = getattr(config, "tpu", None)
-    base = _make_base(oc, flat_state=resolve_flat_state(tpu))
+    base = _make_base(oc, flat_state=resolve_flat_state(tpu),
+                      sr_noise=getattr(tpu, "sr_noise", None))
     return with_ema(base, decay=ema_decay) if ema_decay else base
 
 
@@ -74,12 +75,13 @@ def resolve_flat_state(tpu_cfg) -> bool:
     return True
 
 
-def _make_base(oc, flat_state: bool = False) -> optax.GradientTransformation:
+def _make_base(oc, flat_state: bool = False,
+               sr_noise=None) -> optax.GradientTransformation:
     kind = oc.optimizer_type.lower()
     common = dict(lr=oc.learning_rate, betas=(oc.beta1, oc.beta2),
                   eps=oc.epsilon, weight_decay=oc.weight_decay)
     if kind == "adamw_bf16":
-        return adamw_bf16(**common, flat_state=flat_state)
+        return adamw_bf16(**common, flat_state=flat_state, noise=sr_noise)
     if kind == "adamw_schedule_free_kahan":
         return adamw_schedule_free_kahan(
             **common, warmup_steps=oc.warmup_steps, kahan_sum=oc.kahan_sum,

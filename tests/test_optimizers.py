@@ -562,3 +562,24 @@ class TestAdamWBF16Stacked:
     def test_bad_layout_rejected(self):
         with pytest.raises(ValueError, match="layout"):
             adamw_bf16(layout="bogus")
+
+
+class TestSRNoiseKnob:
+    def test_config_validates(self):
+        cfg = Config()
+        assert cfg.tpu.sr_noise == "hash"  # measured default
+        with pytest.raises(ValueError, match="sr_noise"):
+            Config.from_dict({"tpu": {"sr_noise": "bogus"}})
+
+    def test_threads_into_make_optimizer(self):
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw_bf16"
+        for noise in ("hash", "rbg"):
+            cfg.tpu.sr_noise = noise
+            opt = make_optimizer(cfg)
+            import optax
+            p = {"w": jnp.full((64,), 1.0, jnp.bfloat16)}
+            st = opt.init(p)
+            upd, _ = opt.update({"w": jnp.full((64,), 0.1, jnp.bfloat16)},
+                                st, p)
+            assert np.isfinite(np.asarray(upd["w"], np.float32)).all()

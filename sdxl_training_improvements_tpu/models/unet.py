@@ -32,6 +32,41 @@ from sdxl_training_improvements_tpu.models.layers import (
     Transformer2DModel, Upsample2D, timestep_embedding)
 
 
+def _small_dots_policy(max_out_elements: int = 8 * 1024 * 1024):
+    """Remat policy: save non-batched dot outputs only when SMALL.
+
+    ``dots_with_no_batch_dims_saveable`` keeps every projection/FF output;
+    at batch 4 @1024^2 that is ~9 GB of saves and OOMs the 16 GB chip by
+    2.6 GB (measured, outputs/measure_r3.json).  Full remat fits but pays
+    the full ~18% recompute tax.  The FLOP/byte asymmetry across the UNet
+    resolves this: the deep 32^2 stage holds ~60% of all FLOPs in
+    projections/FF whose outputs are only ~10 MB each, while the 64^2
+    stage's dot outputs are 2-4x larger per tensor and a fraction of the
+    FLOPs.  Saving only dots below ``max_out_elements`` (default 8M
+    elements = 16 MB bf16) keeps the expensive-to-recompute/cheap-to-store
+    saves and drops the big ones — at batch 1 it behaves like
+    ``dots_nobatch``; at batch 4 it auto-fits in HBM.  Attention score
+    einsums carry batch dims and are never saved (the chunked/flash
+    backward recomputes them blockwise).
+    """
+    def policy(prim, *avals, **params) -> bool:
+        if prim.name != "dot_general":
+            return False
+        (lhs_c, rhs_c), (lhs_b, rhs_b) = params["dimension_numbers"]
+        if lhs_b or rhs_b:
+            return False
+        lhs, rhs = avals[0], avals[1]
+        out = 1
+        for i, d in enumerate(lhs.shape):
+            if i not in lhs_c:
+                out *= d
+        for i, d in enumerate(rhs.shape):
+            if i not in rhs_c:
+                out *= d
+        return out <= max_out_elements
+    return policy
+
+
 @dataclass(frozen=True)
 class UNetConfig:
     """Architecture hyperparameters. ``sdxl()`` is the flagship config."""
@@ -114,6 +149,9 @@ class SDXLUNet(nn.Module):
                 # projection/conv matmuls are saved
                 "dots_nobatch":
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                # size-thresholded dots_nobatch: auto-fits batch 4 @1024^2
+                # on a 16GB chip (see _small_dots_policy)
+                "dots_small": _small_dots_policy(),
             }
             if cfg.remat_policy not in policies:
                 raise ValueError(

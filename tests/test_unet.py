@@ -102,13 +102,14 @@ def test_sdxl_config_structure():
     assert cfg.projection_class_embeddings_input_dim == 2816
 
 
-def test_selective_remat_policy_matches_full():
-    """remat_policy='dots' (dots_saveable) computes the same function and
-    gradients as full remat — it only changes what the backward recomputes."""
+@pytest.mark.parametrize("policy", ["dots", "dots_nobatch", "dots_small"])
+def test_selective_remat_policy_matches_full(policy):
+    """Selective remat policies compute the same function and gradients as
+    full remat — they only change what the backward recomputes."""
     import jax
     from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
     cfg_full = UNetConfig.tiny(remat=True)
-    cfg_dots = UNetConfig.tiny(remat=True, remat_policy="dots")
+    cfg_dots = UNetConfig.tiny(remat=True, remat_policy=policy)
     args = (jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
             jnp.ones((1, 77, cfg_full.cross_attention_dim)) * 0.1,
             jnp.ones((1, cfg_full.pooled_embed_dim)) * 0.1,
@@ -129,6 +130,41 @@ def test_selective_remat_policy_matches_full():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                    atol=1e-7)
+
+
+def test_small_dots_policy_thresholds_saves():
+    """_small_dots_policy saves a non-batched dot output iff it is under
+    the element threshold; batched dots (attention scores) never save."""
+    import jax
+    from jax._src.ad_checkpoint import saved_residuals
+    from sdxl_training_improvements_tpu.models.unet import _small_dots_policy
+
+    def f(x, w1, w2):
+        h = x @ w1          # [8, 64] = 512 elements
+        return (h @ w2)     # [8, 4]
+
+    x = jnp.ones((8, 16), jnp.float32)
+    w1 = jnp.ones((16, 64), jnp.float32)
+    w2 = jnp.ones((64, 4), jnp.float32)
+
+    def residual_shapes(max_el):
+        g = jax.checkpoint(f, policy=_small_dots_policy(max_el))
+        res = saved_residuals(g, x, w1, w2)
+        return [tuple(a.shape) for a, _ in res]
+
+    # threshold above 512: the [8, 64] intermediate is saved
+    assert (8, 64) in residual_shapes(1024)
+    # threshold below 512: it is recomputed instead
+    assert (8, 64) not in residual_shapes(256)
+
+    # a batched dot (batch dim in dimension_numbers) is never saved
+    def bf(q, k):
+        return jnp.einsum("bqd,bkd->bqk", q, k).sum()
+    q = jnp.ones((2, 4, 8), jnp.float32)
+    k = jnp.ones((2, 4, 8), jnp.float32)
+    g = jax.checkpoint(bf, policy=_small_dots_policy(1 << 30))
+    shapes = [tuple(a.shape) for a, _ in saved_residuals(g, q, k)]
+    assert (2, 4, 4) not in shapes
 
 
 def test_bad_remat_policy_raises():

@@ -106,6 +106,16 @@ FWD_CASES = {
                                 attn_impl="chunked", steps=10, warmup=3),
     "b4_full_remat_xla_ms": dict(batch=4, remat=True, remat_policy="full",
                                  attn_impl="xla", steps=6, warmup=2),
+    # round-3b: the auto-fit policy (save small non-batched dots only) —
+    # dots_nobatch OOM'd by 2.6G at b4, full remat pays ~18% recompute
+    "b4_dotssmall_chunked_ms": dict(batch=4, remat=True,
+                                    remat_policy="dots_small",
+                                    attn_impl="chunked", steps=6, warmup=2),
+    "b4_full_remat_chunked_ms": dict(batch=4, remat=True, remat_policy="full",
+                                     attn_impl="chunked", steps=6, warmup=2),
+    "b1_dotssmall_chunked_ms": dict(batch=1, remat=True,
+                                    remat_policy="dots_small",
+                                    attn_impl="chunked", steps=10, warmup=3),
 }
 
 

@@ -160,7 +160,17 @@ class SDXLUNet(nn.Module):
             policy = policies[cfg.remat_policy]
             res_cls = nn.remat(ResnetBlock2D, policy=policy)
             tfm_cls = nn.remat(Transformer2DModel, policy=policy)
-        return res_cls, tfm_cls
+            mid_tfm_cls = tfm_cls
+            if cfg.remat_policy == "dots_small":
+                # spend the save budget on the down/up transformer stages
+                # only: with the mid block fully rematerialised the batch-4
+                # @1024^2 peak drops ~700 MB below the 16 GB chip (with all
+                # 60 deep-stage layers saving dots it overflowed by 30 MB,
+                # outputs/measure_r3.json) for ~1/6 of the dot-save
+                # recompute win given back.
+                mid_tfm_cls = nn.remat(Transformer2DModel, policy=None)
+            return res_cls, tfm_cls, mid_tfm_cls
+        return res_cls, tfm_cls, tfm_cls
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
@@ -181,7 +191,7 @@ class SDXLUNet(nn.Module):
         """
         cfg = self.config
         dt, pdt = self.dtype, self.param_dtype
-        res_cls, tfm_cls = self._blocks()
+        res_cls, tfm_cls, mid_tfm_cls = self._blocks()
 
         x = jnp.transpose(sample.astype(dt), (0, 2, 3, 1))  # NCHW -> NHWC
         if timesteps.ndim == 0:
@@ -201,11 +211,12 @@ class SDXLUNet(nn.Module):
 
         ctx = encoder_hidden_states.astype(dt)
 
-        def make_tfm(ch, depth, name):
-            return tfm_cls(num_heads=ch // cfg.attention_head_dim,
-                           head_dim=cfg.attention_head_dim, depth=depth,
-                           dtype=dt, param_dtype=pdt, attn_impl=cfg.attn_impl,
-                           name=name)
+        def make_tfm(ch, depth, name, cls=None):
+            cls = tfm_cls if cls is None else cls
+            return cls(num_heads=ch // cfg.attention_head_dim,
+                       head_dim=cfg.attention_head_dim, depth=depth,
+                       dtype=dt, param_dtype=pdt, attn_impl=cfg.attn_impl,
+                       name=name)
 
         # --- down path ---
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt,
@@ -235,7 +246,8 @@ class SDXLUNet(nn.Module):
                     num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
                     name="mid_block_resnets_0")(x, emb)
         if mid_depth > 0:
-            x = make_tfm(mid_ch, mid_depth, "mid_block_attentions_0")(x, ctx)
+            x = make_tfm(mid_ch, mid_depth, "mid_block_attentions_0",
+                         cls=mid_tfm_cls)(x, ctx)
         x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
                     num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
                     name="mid_block_resnets_1")(x, emb)

@@ -15,9 +15,13 @@ implementations behind one dispatcher:
 ``impl="auto"`` (the default everywhere) picks per call site, using static
 shape information and the Mosaic auto-probe (``ops/probe.py``):
 flash when Mosaic runs natively; otherwise chunked when this call's fp32
-score tensor would exceed ``SDXL_TPU_ATTN_CHUNK_MB`` (default 768 MB —
-the measured OOM driver at batch-4 @1024^2 was a single 2.5 GB probs
-tensor, docs/performance.md); otherwise monolithic XLA.
+score tensor would exceed ``SDXL_TPU_ATTN_CHUNK_MB`` (default 64 MB);
+otherwise monolithic XLA.  The 64 MB default routes every latent
+self-attention site through chunked and keeps the 77-token cross-attention
+monolithic: on the v5e chip, all-chunked measured 10.6% faster than
+all-monolithic at batch 1 @1024^2 fwd+bwd (273.5 vs 305.8 ms) on top of
+removing the 2.5 GB probs transient that OOM'd batch 4
+(outputs/measure_r3.json, docs/performance.md).
 
 Layout: [B, S, H, D] (batch, sequence, heads, head_dim) — the natural TPU
 layout keeping the contraction dims (D, S) in the lanes for the MXU.
@@ -33,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 IMPLS = ("auto", "xla", "chunked", "flash")
-_DEFAULT_CHUNK_MB = 768
+_DEFAULT_CHUNK_MB = 64
 
 
 def dot_product_attention_reference(q: jnp.ndarray, k: jnp.ndarray,

@@ -104,16 +104,22 @@ class TestDispatch:
         attention._chunk_threshold_bytes.cache_clear()
         monkeypatch.delenv("SDXL_TPU_ATTN_CHUNK_MB", raising=False)
         try:
-            # batch-1 1024^2 self-attn: [1,10,4096,4096] fp32 = 640 MB < 768
-            assert attention.resolve_impl("auto", 1, 4096, 4096, 10) == "xla"
+            # every latent self-attention site resolves chunked (64 MB
+            # default threshold; all-chunked measured 10.6% faster than
+            # all-monolithic at b1 @1024^2, outputs/measure_r3.json):
+            # b1 @1024^2 640-ch stage: [1,10,4096,4096] fp32 = 640 MB
+            assert attention.resolve_impl(
+                "auto", 1, 4096, 4096, 10) == "chunked"
+            # b1 1280-ch stage: [1,20,1024,1024] fp32 = 80 MB
+            assert attention.resolve_impl(
+                "auto", 1, 1024, 1024, 20) == "chunked"
             # batch-4: 2.5 GB -> chunked (the measured OOM tensor)
             assert attention.resolve_impl(
                 "auto", 4, 4096, 4096, 10) == "chunked"
-            # 1536^2 batch-1 (S=9216): 3.2 GB -> chunked
-            assert attention.resolve_impl(
-                "auto", 1, 9216, 9216, 10) == "chunked"
-            # cross-attention never trips it
+            # cross-attention (77 text tokens) stays monolithic
             assert attention.resolve_impl("auto", 4, 4096, 77, 10) == "xla"
+            # tiny-model shapes stay monolithic
+            assert attention.resolve_impl("auto", 1, 256, 256, 8) == "xla"
         finally:
             attention._chunk_threshold_bytes.cache_clear()
 

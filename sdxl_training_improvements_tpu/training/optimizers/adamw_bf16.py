@@ -99,7 +99,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                weight_decay: float = 0.0, seed: int = 0,
                lr_schedule=None, prng_impl: str = "rbg",
                flat_state: bool = False, flat_groups: int = 8,
-               noise: Optional[str] = None, layout: Optional[str] = None
+               noise: Optional[str] = None, layout: Optional[str] = None,
+               hybrid_threshold: int = 1 << 20
                ) -> optax.GradientTransformation:
     """Build the transform.  ``update(grads, state, params)`` returns the
     *delta* to add to params (optax convention: ``p += updates``).
@@ -117,8 +118,9 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
     reference's kernels; tests/test_reference_parity.py)."""
     beta1, beta2 = betas
     layout = layout or ("flat" if flat_state else "per_leaf")
-    if layout not in ("per_leaf", "flat", "stacked"):
-        raise ValueError(f"layout must be per_leaf|flat|stacked, got {layout!r}")
+    if layout not in ("per_leaf", "flat", "stacked", "hybrid"):
+        raise ValueError(
+            f"layout must be per_leaf|flat|stacked|hybrid, got {layout!r}")
     noise_mode = noise if noise is not None else (
         "rbg" if layout == "per_leaf" else "hash")
     if noise_mode not in ("rbg", "hash"):
@@ -327,6 +329,116 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             accumulated_decay=new_acc, key=new_key)
         return jax.tree_util.tree_unflatten(treedef, deltas), new_state
 
+    # ============================================================== hybrid
+    # Small bf16 leaves (< hybrid_threshold elements) pack into ONE flat
+    # buffer; big leaves stay per-leaf.  Rationale (outputs/measure_r3.json):
+    # full flat packing measured ~500 ms at SDXL scale because ravelling
+    # the BIG tiled conv/matmul leaves forces relayout copies — but 984 of
+    # the UNet's 1680 leaves hold only 1.85% of the parameters, so packing
+    # just those removes ~60% of the per-leaf kernel dispatches while the
+    # relayout traffic scales with their (negligible) bytes.  Decay phase
+    # is per flat group / per big leaf, same policy as "flat".
+    def _partition_hybrid(leaves):
+        f32_idx = [i for i, l in enumerate(leaves)
+                   if l.dtype == jnp.float32]
+        small = [i for i, l in enumerate(leaves)
+                 if l.dtype == jnp.bfloat16 and l.size < hybrid_threshold]
+        big = [i for i, l in enumerate(leaves)
+               if l.dtype == jnp.bfloat16 and l.size >= hybrid_threshold]
+        return f32_idx, ([small] if small else []), big
+
+    def init_hybrid(params):
+        leaves, _ = jax.tree_util.tree_flatten(params)
+        _validate(leaves)
+        f32_idx, groups, big = _partition_hybrid(leaves)
+        key = jax.random.key(seed, impl=prng_impl)
+        n_phases = max(len(groups) + len(big), 1)
+        phases = jax.random.uniform(jax.random.fold_in(key, 1),
+                                    (n_phases,), jnp.float32) * DECAY_THRESHOLD
+
+        def flat_zeros(group):
+            return jnp.zeros((sum(leaves[i].size for i in group),),
+                             jnp.bfloat16)
+
+        def tree(maker_flat, maker_leaf):
+            d = {f"flat_{g}": maker_flat(group)
+                 for g, group in enumerate(groups)}
+            d.update({f"leaf_{i}": maker_leaf(leaves[i])
+                      for i in big + f32_idx})
+            return d
+
+        acc = {f"flat_{g}": phases[g] for g in range(len(groups))}
+        acc.update({f"leaf_{i}": phases[len(groups) + j]
+                    for j, i in enumerate(big)})
+        return AdamWBF16State(
+            step=jnp.zeros((), jnp.int32),
+            exp_avg=tree(flat_zeros, jnp.zeros_like),
+            exp_avg_sq=tree(flat_zeros, jnp.zeros_like),
+            shift=tree(flat_zeros, jnp.zeros_like),
+            accumulated_decay=acc,
+            key=jax.random.fold_in(key, 2),
+        )
+
+    def update_hybrid(grads, state, params):
+        if params is None:
+            raise ValueError("adamw_bf16 requires params")
+        step = state.step + 1
+        cur_lr = lr_schedule(step) if lr_schedule is not None else lr
+        denom_correction = jnp.sqrt(1.0 - beta2 ** step.astype(jnp.float32))
+
+        p_leaves, treedef = jax.tree_util.tree_flatten(params)
+        g_leaves = treedef.flatten_up_to(grads)
+        f32_idx, groups, big = _partition_hybrid(p_leaves)
+        new_key, step_key = jax.random.split(state.key)
+        keys = jax.random.split(step_key, max(len(groups) + len(big), 1))
+
+        deltas = [None] * len(p_leaves)
+        new_m = dict(state.exp_avg)
+        new_v = dict(state.exp_avg_sq)
+        new_sh = dict(state.shift)
+        new_acc = dict(state.accumulated_decay)
+
+        for g, group in enumerate(groups):
+            name = f"flat_{g}"
+            p_flat = jnp.concatenate([p_leaves[i].ravel() for i in group])
+            g_flat = jnp.concatenate(
+                [g_leaves[i].ravel().astype(jnp.bfloat16) for i in group])
+            delta_flat, m, v, sh, acc = bf16_update(
+                p_flat, g_flat, state.exp_avg[name],
+                state.exp_avg_sq[name], state.shift[name],
+                state.accumulated_decay[name], keys[g], cur_lr,
+                denom_correction)
+            new_m[name], new_v[name], new_sh[name] = m, v, sh
+            new_acc[name] = acc
+            sizes = [p_leaves[i].size for i in group]
+            offsets = np.cumsum(sizes)[:-1]
+            for i, piece in zip(group, jnp.split(delta_flat, offsets)):
+                deltas[i] = piece.reshape(p_leaves[i].shape)
+
+        for j, i in enumerate(big):
+            name = f"leaf_{i}"
+            delta, m, v, sh, acc = bf16_update(
+                p_leaves[i], g_leaves[i], state.exp_avg[name],
+                state.exp_avg_sq[name], state.shift[name],
+                state.accumulated_decay[name], keys[len(groups) + j],
+                cur_lr, denom_correction)
+            new_m[name], new_v[name], new_sh[name] = m, v, sh
+            new_acc[name] = acc
+            deltas[i] = delta
+
+        for i in f32_idx:
+            name = f"leaf_{i}"
+            m, v = f32_update(p_leaves[i], g_leaves[i],
+                              state.exp_avg[name], state.exp_avg_sq[name])
+            deltas[i] = (-cur_lr * denom_correction) * m \
+                / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p_leaves[i]
+            new_m[name], new_v[name] = m, v
+
+        new_state = AdamWBF16State(
+            step=step, exp_avg=new_m, exp_avg_sq=new_v, shift=new_sh,
+            accumulated_decay=new_acc, key=new_key)
+        return jax.tree_util.tree_unflatten(treedef, deltas), new_state
+
     # ============================================================= stacked
     def _partition_stacked(leaves):
         """Same-shape bf16 leaves grouped (deterministic order); f32 leaves
@@ -424,4 +536,6 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
         return optax.GradientTransformation(init_flat, update_flat)
     if layout == "stacked":
         return optax.GradientTransformation(init_stacked, update_stacked)
+    if layout == "hybrid":
+        return optax.GradientTransformation(init_hybrid, update_hybrid)
     return optax.GradientTransformation(init_per_leaf, update_per_leaf)

@@ -564,6 +564,74 @@ class TestAdamWBF16Stacked:
             adamw_bf16(layout="bogus")
 
 
+class TestAdamWBF16Hybrid:
+    """Hybrid layout: bf16 leaves below the threshold pack into one flat
+    buffer, big leaves stay per-leaf — the flat layout's kernel-count win
+    without relayouting the big tiled tensors."""
+
+    def _tree(self):
+        return {
+            "big": jnp.ones((64, 8), jnp.bfloat16),      # >= threshold
+            "small1": jnp.full((8,), 0.5, jnp.bfloat16),
+            "small2": jnp.full((4, 2), -0.25, jnp.bfloat16),
+            "s": jnp.ones((4,), jnp.float32),
+        }
+
+    def test_state_layout(self):
+        opt = adamw_bf16(lr=0.1, layout="hybrid", hybrid_threshold=64)
+        state = opt.init(self._tree())
+        # one flat group holding small1+small2 (8 + 8 = 16 elements)
+        assert state.exp_avg["flat_0"].shape == (16,)
+        assert state.exp_avg["flat_0"].dtype == jnp.bfloat16
+        # big leaf per-leaf (index 0 in sorted-dict flatten order)
+        assert state.exp_avg["leaf_0"].shape == (64, 8)
+        # f32 leaf per-leaf with no shift/decay participation
+        assert state.exp_avg["leaf_1"].dtype == jnp.float32
+        assert set(state.accumulated_decay) == {"flat_0", "leaf_0"}
+
+    def test_single_step_matches_per_leaf_within_sr_ulp(self):
+        import optax
+        tree = self._tree()
+        g = jax.tree.map(lambda p: jnp.full(p.shape, 0.1, p.dtype), tree)
+        results = {}
+        for name, opt in [
+                ("leaf", adamw_bf16(lr=0.05, seed=0)),
+                ("hybrid", adamw_bf16(lr=0.05, seed=0, layout="hybrid",
+                                      hybrid_threshold=64))]:
+            state = opt.init(tree)
+            upd, _ = opt.update(g, state, tree)
+            results[name] = optax.apply_updates(tree, upd)
+        for x, y in zip(jax.tree.leaves(results["leaf"]),
+                        jax.tree.leaves(results["hybrid"])):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                atol=2e-2)
+
+    @pytest.mark.parametrize("noise", ["hash", "rbg"])
+    def test_converges_on_quadratic(self, noise):
+        opt = adamw_bf16(lr=0.05, seed=0, layout="hybrid",
+                         hybrid_threshold=8, noise=noise)
+        losses, _ = quadratic_losses(opt, jnp.bfloat16, steps=300)
+        assert losses[-1] < 0.01 * losses[0]
+
+    def test_all_small_and_all_big_edge_cases(self):
+        import optax
+        # every leaf below threshold -> single flat group, no big leaves
+        small = {"a": jnp.ones((4,), jnp.bfloat16),
+                 "b": jnp.ones((2, 2), jnp.bfloat16)}
+        opt = adamw_bf16(lr=0.1, layout="hybrid", hybrid_threshold=1 << 10)
+        st = opt.init(small)
+        assert set(st.exp_avg) == {"flat_0"}
+        upd, _ = opt.update(jax.tree.map(jnp.ones_like, small), st, small)
+        assert jax.tree.structure(upd) == jax.tree.structure(small)
+        # every leaf above threshold -> pure per-leaf, no flat group
+        opt2 = adamw_bf16(lr=0.1, layout="hybrid", hybrid_threshold=1)
+        st2 = opt2.init(small)
+        assert not any(k.startswith("flat_") for k in st2.exp_avg)
+        upd2, _ = opt2.update(jax.tree.map(jnp.ones_like, small), st2, small)
+        assert jax.tree.structure(upd2) == jax.tree.structure(small)
+
+
 class TestSRNoiseKnob:
     def test_config_validates(self):
         cfg = Config()

@@ -68,6 +68,9 @@ OPT_VARIANTS = {
     "perleaf_rbg": dict(layout="per_leaf", noise="rbg"),
     "stacked_hash": dict(layout="stacked", noise="hash"),
     "stacked_rbg": dict(layout="stacked", noise="rbg"),
+    # small leaves (<1M elements; 984 of 1680 leaves, 1.85% of params)
+    # packed into one flat buffer, big leaves per-leaf
+    "hybrid_hash": dict(layout="hybrid", noise="hash"),
 }
 
 
@@ -202,6 +205,20 @@ def phase_noise():
             record(f"noise_{name}_ms_per_2e28", f"FAILED: {e!r}")
 
 
+def phase_soap():
+    """SOAP at SDXL scale: full-tree compile time + chunked step/refresh
+    (verdict #7)."""
+    from bench import bench_soap_full_scale
+    from sdxl_training_improvements_tpu.models.unet import UNetConfig
+    try:
+        out = bench_soap_full_scale(UNetConfig.sdxl(), 128)
+        for k, v in out.items():
+            record(k, v)
+    except Exception as e:
+        traceback.print_exc()
+        record("soap_step_ms", f"FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
 def main():
     assert jax.default_backend() != "cpu", "this sweep must run on the TPU"
     log(f"devices: {jax.devices()}")
@@ -215,7 +232,8 @@ def main():
             run_fwd_case(p.split(":", 1)[1])
             continue
         {"opt": phase_opt, "b4": phase_b4, "b1": phase_b1,
-         "extra": phase_extra, "noise": phase_noise}[p]()
+         "extra": phase_extra, "noise": phase_noise,
+         "soap": phase_soap}[p]()
     log("done")
 
 

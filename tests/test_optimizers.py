@@ -463,6 +463,33 @@ class TestEMA:
         cfg.training.ema_decay = None
         assert not isinstance(make_optimizer(cfg).init(params), EMAState)
 
+    def test_schedule_free_composition_rejected(self):
+        """EMA over the schedule-free y iterate is ill-defined (the x
+        sequence IS the averaged model) — make_optimizer refuses loudly
+        instead of shipping ambiguous export weights."""
+        from sdxl_training_improvements_tpu.config import Config
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            make_optimizer)
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw_schedule_free_kahan"
+        cfg.training.ema_decay = 0.999
+        with pytest.raises(ValueError, match="schedule-free"):
+            make_optimizer(cfg)
+        # schedule-free without EMA still builds and recovers eval params
+        cfg.training.ema_decay = None
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            schedule_free_eval_params)
+        opt = make_optimizer(cfg)
+        params = {"w": jnp.ones((4,), jnp.float32)}
+        state = opt.init(params)
+        import optax
+        upd, state = opt.update({"w": jnp.full((4,), 0.1, jnp.float32)},
+                                state, params)
+        params = optax.apply_updates(params, upd)
+        evalp = schedule_free_eval_params(state, params)
+        assert evalp["w"].shape == (4,)
+        assert bool(jnp.isfinite(evalp["w"]).all())
+
     def test_trainer_eval_params_prefers_ema(self, tmp_path):
         from sdxl_training_improvements_tpu.config import Config
         from sdxl_training_improvements_tpu.models.sdxl import SDXLModel

@@ -119,11 +119,29 @@ FWD_CASES = {
     "b1_dotssmall_chunked_ms": dict(batch=1, remat=True,
                                     remat_policy="dots_small",
                                     attn_impl="chunked", steps=10, warmup=3),
+    # auto with a 512MB threshold: chunked only at the 64^2 stage (2.5GB
+    # scores), monolithic at 32^2 (336MB) — avoids the double recompute
+    # (remat + chunked VJP) where the probs transient is affordable
+    "b4_dotssmall_auto512_ms": dict(batch=4, remat=True,
+                                    remat_policy="dots_small",
+                                    attn_impl="auto", steps=6, warmup=2,
+                                    env={"SDXL_TPU_ATTN_CHUNK_MB": "512"}),
+    # the exact production HLOs bench.py runs (auto = chunked self-attn +
+    # monolithic cross-attn at the default 64MB threshold) — the numbers
+    # for the bench rows, and they prime the persistent compile cache so
+    # the driver's bench run skips the slow remote compiles
+    "b4_dotssmall_auto_ms": dict(batch=4, remat=True,
+                                 remat_policy="dots_small",
+                                 attn_impl="auto", steps=6, warmup=2),
+    "b1_nomat_auto_ms": dict(batch=1, remat=False, remat_policy="full",
+                             attn_impl="auto", steps=10, warmup=3),
 }
 
 
 def run_fwd_case(name):
-    kw = FWD_CASES[name]
+    kw = dict(FWD_CASES[name])
+    for k, v in kw.pop("env", {}).items():
+        os.environ[k] = v
     try:
         log(f"fwd+bwd {name} ...")
         t = bench_fwd_bwd_cfg(**kw)

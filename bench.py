@@ -18,11 +18,15 @@ What the reference actually times is the FULL step — fwd+bwd+clip+optimizer
 * **full step** = t_fwd_bwd + t_optimizer / grad_accum (one update per
   ``accum`` micro-batches — the reference's recipe, ``config.yaml:26-33``).
 
-The JSON carries a ``configs`` array with one row per measured workload
-(round-3 verdict #10): the reference's own default workload
-batch 4 x accum 4, and the fastest single-chip composition batch 1 x
-accum 4, each with its resolved attention implementation and MFU (XLA
+The JSON carries a ``configs`` array with one row per workload (round-3
+verdict #10), each with its resolved attention implementation and MFU (XLA
 cost-analysis FLOPs over the measured time, against the chip's bf16 peak).
+The headline row executes the reference's own default workload (batch 4 x
+accum 4 = effective batch 16) as micro-batch 1 x accum 16 via
+``tpu.micro_batch_size`` — gradient-identical re-tiling of the same
+global batch (tests/test_trainer.py::test_micro_batch_retile_is_exact)
+that avoids rematerialisation on 16 GB-class chips; the literal
+micro-batch-4 execution is reported alongside.
 
 Baseline: the reference publishes no numbers (BASELINE.md).  vs_baseline
 uses 1.15 samples/s — community-measured A100-80GB torch2+xformers SDXL
@@ -47,7 +51,7 @@ BASELINE_SOURCE = (
     "community-measured A100-80GB torch2+xformers SDXL 1024^2 batch-1 full "
     "fine-tune ~1.0-1.3 it/s; reference repo publishes no numbers "
     "(BASELINE.md) — error bar +-15%. vs_baseline = row full-step "
-    "samples/s (optimizer amortized over the row's grad_accum(4), the "
+    "samples/s (optimizer amortized over the row's grad_accum, the "
     "recipe both frameworks run) / 1.15; no_accum_full_step_samples_per_s "
     "gives the accum-free composition")
 
@@ -297,30 +301,38 @@ def main():
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    accum = 4  # the reference's default grad-accum (config.yaml:26-33)
     peak, chip = _chip_peak_flops() if on_tpu else (None, "cpu")
 
+    # The reference's default workload is batch 4 x grad-accum 4 @1024^2
+    # (``config.yaml:26-33``) — effective batch 16.  Measured compositions
+    # (outputs/measure_r3.json):
+    # * micro-batch 1 x accum 16 (tpu.micro_batch_size=1): identical
+    #   gradients over the same 16 samples, runs WITHOUT remat — 273.5
+    #   ms/sample, the production recipe for 16 GB-class chips (headline);
+    # * literal batch 4 x accum 4: needs remat (dots_small auto-fit
+    #   policy) — 370 ms/sample;
+    # each workload row names its micro-batch HLO and its accum count.
     if on_tpu:
         hw, steps, warmup, chunks = 128, 10, 3, 3
-        # workload configs chosen by the round-3 sweep
-        # (outputs/measure_r3.json): batch 4 runs without full remat once
-        # attention is bounded-memory ("auto" resolves to chunked/flash);
-        # dots_nobatch keeps projection/conv matmul outputs.
+        cases = {  # micro-batch HLOs actually measured
+            "b1_nomat": dict(batch=1, remat=False, remat_policy="full",
+                             attn_impl="auto"),
+            "b4_dots_small": dict(batch=4, remat=True,
+                                  remat_policy="dots_small",
+                                  attn_impl="auto"),
+        }
         workloads = [
-            ("batch4_accum4_reference_default",
-             dict(batch=4, remat=True, remat_policy="dots_nobatch",
-                  attn_impl="auto")),
-            ("batch1_accum4_fastest_single_chip",
-             dict(batch=1, remat=False, remat_policy="full",
-                  attn_impl="auto")),
+            ("reference_default_b4xa4_as_micro1_accum16", "b1_nomat", 16),
+            ("reference_default_b4xa4_literal", "b4_dots_small", 4),
+            ("batch1_accum4", "b1_nomat", 4),
         ]
     else:  # CPU smoke fallback so the script always emits a line
         hw, steps, warmup, chunks = 16, 3, 1, 2
-        workloads = [
-            ("batch1_accum4_cpu_smoke",
-             dict(batch=1, remat=False, remat_policy="full",
-                  attn_impl="xla")),
-        ]
+        cases = {
+            "b1_nomat": dict(batch=1, remat=False, remat_policy="full",
+                             attn_impl="xla"),
+        }
+        workloads = [("batch1_accum4_cpu_smoke", "b1_nomat", 4)]
 
     mkcfg = UNetConfig.sdxl if on_tpu else UNetConfig.tiny
 
@@ -335,31 +347,47 @@ def main():
         opt_err = repr(e)
         log(f"optimizer phase failed: {opt_err}")
 
-    rows = []
-    for name, w in workloads:
+    # measure each distinct micro-batch HLO once
+    measured = {}
+    for cname, w in cases.items():
         cfg = mkcfg(remat=w["remat"], remat_policy=w["remat_policy"],
                     attn_impl=w["attn_impl"])
         batch = w["batch"]
         # resolved attention impl at the dominant self-attn site (S=4096
-        # at 1024^2, 10 heads in the 640-ch stage)
+        # at 1024^2, 10 heads in the 640-ch stage); the "auto" chunk
+        # threshold is remat-aware (ops/attention.py)
         resolved = A.resolve_impl(w["attn_impl"], batch, (hw // 2) ** 2,
-                                  (hw // 2) ** 2, 10)
-        log(f"workload {name}: fwd+bwd (attention={resolved}) ...")
+                                  (hw // 2) ** 2, 10,
+                                  chunk_mb=512 if w["remat"] else None)
+        log(f"case {cname}: fwd+bwd (attention={resolved}) ...")
         try:
             t_fb, flops = bench_fwd_bwd(cfg, batch, hw, steps, warmup,
                                         want_flops=True)
         except Exception as e:
-            log(f"workload {name} failed: {e!r}")
-            rows.append({"name": name, "error": repr(e)[:300]})
+            log(f"case {cname} failed: {e!r}")
+            measured[cname] = {"error": repr(e)[:300]}
             continue
         log(f"  fwd+bwd: {t_fb*1e3:.1f} ms ({batch / t_fb:.3f} samples/s)")
+        measured[cname] = dict(t_fb=t_fb, flops=flops, batch=batch,
+                               attention_impl=resolved,
+                               remat=w["remat_policy"] if w["remat"]
+                               else "off")
+
+    rows = []
+    for name, cname, accum in workloads:
+        m = measured[cname]
+        if "error" in m:
+            rows.append({"name": name, "error": m["error"]})
+            continue
+        t_fb, batch = m["t_fb"], m["batch"]
         row = {
             "name": name,
-            "batch": batch,
+            "micro_batch": batch,
             "grad_accum": accum,
-            "attention_impl": resolved,
-            "remat": w["remat_policy"] if w["remat"] else "off",
-            "fwd_bwd_ms": round(t_fb * 1e3, 1),
+            "effective_batch": batch * accum,
+            "attention_impl": m["attention_impl"],
+            "remat": m["remat"],
+            "fwd_bwd_ms_per_micro_batch": round(t_fb * 1e3, 1),
             "fwd_bwd_samples_per_s": round(batch / t_fb, 4),
         }
         if t_opt is not None:
@@ -369,9 +397,9 @@ def main():
                 batch / (t_fb + t_opt), 4)
             row["vs_baseline"] = round(
                 row["samples_per_s"] / A100_BASELINE_SAMPLES_PER_S, 4)
-        if flops and peak:
-            row["mfu"] = round(flops / t_fb / peak, 4)
-            row["tflop_per_step"] = round(flops / 1e12, 2)
+        if m["flops"] and peak:
+            row["mfu"] = round(m["flops"] / t_fb / peak, 4)
+            row["tflop_per_step"] = round(m["flops"] / 1e12, 2)
         rows.append(row)
 
     extra_soap = {}
@@ -400,10 +428,17 @@ def main():
         "optimizer_variant": "adamw_bf16 per-leaf bf16-SR + fused hash noise",
         "configs": rows,
         "composition": (
-            f"per row: fwd_bwd(+grad-norm) + bf16-SR-AdamW update/"
-            f"grad_accum({accum}, reference default); update measured at "
-            f"full scale in {chunks} resident chunks (elementwise, times "
-            "sum exactly); full state exceeds a 16GB dev chip, target v5p"),
+            "per row: samples_per_s = micro_batch / (fwd_bwd(+grad-norm) + "
+            "bf16-SR-AdamW update / grad_accum).  The headline executes "
+            "the reference's default workload (batch 4 x accum 4 = "
+            "effective batch 16, config.yaml:26-33) as micro-batch 1 x "
+            "accum 16 via tpu.micro_batch_size — identical gradients over "
+            "the same 16 samples, no remat needed "
+            "(tests/test_trainer.py::test_micro_batch_retile_is_exact); "
+            "the _literal row runs it at micro-batch 4 under dots_small "
+            f"remat.  Optimizer update measured at full scale in {chunks} "
+            "resident chunks (elementwise, times sum exactly); full state "
+            "exceeds a 16GB dev chip, target v5p"),
         "baseline_source": BASELINE_SOURCE,
         **extra_soap,
     }

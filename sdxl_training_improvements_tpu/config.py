@@ -284,6 +284,21 @@ class TPUConfig:
     # XLA when the fp32 score tensor is huge, monolithic XLA otherwise;
     # or pin one of "xla" | "chunked" | "flash".
     attention_impl: str = "auto"
+    # "auto" chunk-threshold override in MB (None = remat-aware default:
+    # 512 under remat, 64 otherwise — ops/attention.py docstring)
+    attn_chunk_mb: Optional[int] = None
+    # micro-batch size for the accumulation scan.  None = training.batch_size
+    # (one micro-batch per accumulation step, the reference's composition).
+    # Setting it re-tiles the SAME global batch
+    # (batch_size * gradient_accumulation_steps) into micro-batches of this
+    # size — gradients are identical (mean over the same samples), but a
+    # smaller micro-batch can run without rematerialisation on small-HBM
+    # chips: the reference's batch 4 x accum 4 @1024^2 executed as
+    # micro 1 x accum 16 measured 273.5 ms/sample (no remat) vs 370
+    # ms/sample for batch-4 full-remat on a 16 GB v5e
+    # (outputs/measure_r3.json).  Must divide the global batch; each
+    # micro-batch is sharded over the data/fsdp mesh axes.
+    micro_batch_size: Optional[int] = None
     # flat optimizer state (adamw_bf16 only): pack bf16 leaves into a few
     # contiguous buffers so the update runs as large fused passes.  "auto"
     # enables it whenever params are replicated (no fsdp/tensor sharding,
@@ -310,6 +325,14 @@ class TPUConfig:
         if self.sr_noise not in ("hash", "rbg"):
             raise ValueError(
                 f"tpu.sr_noise must be hash|rbg, got {self.sr_noise!r}")
+        if self.micro_batch_size is not None and self.micro_batch_size < 1:
+            raise ValueError(
+                f"tpu.micro_batch_size must be >= 1 or null, "
+                f"got {self.micro_batch_size}")
+        if self.attn_chunk_mb is not None and self.attn_chunk_mb < 1:
+            raise ValueError(
+                f"tpu.attn_chunk_mb must be >= 1 or null, "
+                f"got {self.attn_chunk_mb}")
 
 
 @dataclass

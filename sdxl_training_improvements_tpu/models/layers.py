@@ -152,6 +152,9 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"  # ops/attention.py dispatch (auto|xla|chunked|flash)
+    # "auto" chunk threshold (MB); None -> the 64 MB no-remat default.
+    # The UNet passes 512 under remat (ops/attention.py module docstring).
+    attn_chunk_mb: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -168,7 +171,8 @@ class Attention(nn.Module):
         q = q.reshape(b, s, self.num_heads, self.head_dim)
         k = k.reshape(b, t, self.num_heads, self.head_dim)
         v = v.reshape(b, t, self.num_heads, self.head_dim)
-        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl,
+                                    chunk_mb=self.attn_chunk_mb)
         out = out.reshape(b, s, inner)
         return dense("to_out_0", inner, True)(out)
 
@@ -230,11 +234,13 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    attn_chunk_mb: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context):
         attn = lambda n: Attention(self.num_heads, self.head_dim, self.dtype,
-                                   self.param_dtype, self.attn_impl, name=n)
+                                   self.param_dtype, self.attn_impl,
+                                   self.attn_chunk_mb, name=n)
         x = x + attn("attn1")(LayerNormF32(name="norm1")(x))
         x = x + attn("attn2")(LayerNormF32(name="norm2")(x), context)
         dim = self.num_heads * self.head_dim
@@ -255,6 +261,7 @@ class Transformer2DModel(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "auto"
+    attn_chunk_mb: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context):
@@ -267,7 +274,8 @@ class Transformer2DModel(nn.Module):
         for i in range(self.depth):
             hx = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.dtype, self.param_dtype,
-                self.attn_impl, name=f"transformer_blocks_{i}")(hx, context)
+                self.attn_impl, self.attn_chunk_mb,
+                name=f"transformer_blocks_{i}")(hx, context)
         hx = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="proj_out")(hx)
         return hx.reshape(b, h, w, c) + residual

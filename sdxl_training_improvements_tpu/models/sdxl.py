@@ -40,6 +40,7 @@ class SDXLModel:
                remat: Optional[bool] = None,
                remat_policy: Optional[str] = None,
                attn_impl: Optional[str] = None,
+               attn_chunk_mb: Optional[int] = None,
                init_rng: Optional[jax.Array] = None,
                init_components=("unet",), latent_size: int = 16) -> "SDXLModel":
         """Random-init bundle.  ``tiny`` builds the CPU-testable miniature;
@@ -67,6 +68,8 @@ class SDXLModel:
             overrides["remat_policy"] = remat_policy
         if attn_impl is not None:
             overrides["attn_impl"] = attn_impl
+        if attn_chunk_mb is not None:
+            overrides["attn_chunk_mb"] = attn_chunk_mb
         if overrides:
             ucfg = dataclasses.replace(ucfg, **overrides)
         param_dtype = policy.param_dtype if policy is not None else dtype

@@ -22,7 +22,7 @@ HF SDXL safetensors load by pure name translation (``models/weights.py``).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -95,6 +95,9 @@ class UNetConfig:
     # Mosaic probe says native, chunked when the score tensor is huge, xla
     # otherwise
     attn_impl: str = "auto"
+    # "auto" chunk threshold override (MB); None -> remat-aware default
+    # (512 under remat, 64 otherwise — see ops/attention.py docstring)
+    attn_chunk_mb: Optional[int] = None
 
     @classmethod
     def sdxl(cls, **kw) -> "UNetConfig":
@@ -211,12 +214,20 @@ class SDXLUNet(nn.Module):
 
         ctx = encoder_hidden_states.astype(dt)
 
+        # remat-aware "auto" chunk threshold: under remat the chunked VJP
+        # recomputes attention on top of the remat recompute, so monolithic
+        # wins wherever the probs transient is affordable (measured b4
+        # @1024^2 dots_small: 1483 ms at 512 MB vs 1538 ms all-chunked,
+        # outputs/measure_r3.json); without remat, chunk everything big
+        # (the 64 MB default: 273.5 vs 305.8 ms at b1).
+        chunk_mb = cfg.attn_chunk_mb or (512 if cfg.remat else None)
+
         def make_tfm(ch, depth, name, cls=None):
             cls = tfm_cls if cls is None else cls
             return cls(num_heads=ch // cfg.attention_head_dim,
                        head_dim=cfg.attention_head_dim, depth=depth,
                        dtype=dt, param_dtype=pdt, attn_impl=cfg.attn_impl,
-                       name=name)
+                       attn_chunk_mb=chunk_mb, name=name)
 
         # --- down path ---
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt,

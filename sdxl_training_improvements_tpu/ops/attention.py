@@ -15,13 +15,22 @@ implementations behind one dispatcher:
 ``impl="auto"`` (the default everywhere) picks per call site, using static
 shape information and the Mosaic auto-probe (``ops/probe.py``):
 flash when Mosaic runs natively; otherwise chunked when this call's fp32
-score tensor would exceed ``SDXL_TPU_ATTN_CHUNK_MB`` (default 64 MB);
-otherwise monolithic XLA.  The 64 MB default routes every latent
-self-attention site through chunked and keeps the 77-token cross-attention
-monolithic: on the v5e chip, all-chunked measured 10.6% faster than
-all-monolithic at batch 1 @1024^2 fwd+bwd (273.5 vs 305.8 ms) on top of
-removing the 2.5 GB probs transient that OOM'd batch 4
-(outputs/measure_r3.json, docs/performance.md).
+score tensor would exceed a chunk threshold; otherwise monolithic XLA.
+
+The threshold is remat-aware, from the v5e measurements
+(outputs/measure_r3.json, docs/performance.md):
+
+* **no remat** -> 64 MB: chunk every latent self-attention site, keep the
+  77-token cross-attention monolithic.  All-chunked measured 10.6% faster
+  than all-monolithic at batch 1 @1024^2 fwd+bwd (273.5 vs 305.8 ms), on
+  top of removing the 2.5 GB probs transient that OOM'd batch 4.
+* **under remat** -> 512 MB: the chunked VJP recomputes attention on top
+  of the remat recompute, so monolithic wins wherever the probs transient
+  is affordable; chunk only the huge 64^2-stage scores.  At batch 4
+  @1024^2 with ``dots_small`` remat: 1483 ms vs 1538 ms all-chunked.
+
+``SDXL_TPU_ATTN_CHUNK_MB`` overrides both; call sites may also pass an
+explicit ``chunk_mb`` (threaded from ``UNetConfig.attn_chunk_mb``).
 
 Layout: [B, S, H, D] (batch, sequence, heads, head_dim) — the natural TPU
 layout keeping the contraction dims (D, S) in the lanes for the MXU.
@@ -77,16 +86,19 @@ def _flash_available() -> bool:
         return False
 
 
-@functools.lru_cache(maxsize=1)
-def _chunk_threshold_bytes() -> int:
-    mb = os.environ.get("SDXL_TPU_ATTN_CHUNK_MB", str(_DEFAULT_CHUNK_MB))
-    try:
-        return int(float(mb) * (1 << 20))
-    except ValueError:
-        return _DEFAULT_CHUNK_MB << 20
+def _chunk_threshold_bytes(chunk_mb: Optional[int] = None) -> int:
+    env = os.environ.get("SDXL_TPU_ATTN_CHUNK_MB")
+    if env is not None:
+        try:
+            return int(float(env) * (1 << 20))
+        except ValueError:
+            pass
+    mb = chunk_mb if chunk_mb else _DEFAULT_CHUNK_MB
+    return int(mb) << 20
 
 
-def resolve_impl(impl: str, b: int, s: int, t: int, h: int) -> str:
+def resolve_impl(impl: str, b: int, s: int, t: int, h: int,
+                 chunk_mb: Optional[int] = None) -> str:
     """Resolve "auto" to a concrete implementation for a static call shape."""
     if impl not in IMPLS:
         raise ValueError(f"Unknown attention impl {impl!r}; one of {IMPLS}")
@@ -95,13 +107,14 @@ def resolve_impl(impl: str, b: int, s: int, t: int, h: int) -> str:
     if _flash_available():
         return "flash"
     score_bytes = 4 * b * h * s * t  # the fp32 logits/probs tensor
-    if score_bytes >= _chunk_threshold_bytes():
+    if score_bytes >= _chunk_threshold_bytes(chunk_mb):
         return "chunked"
     return "xla"
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          impl: str = "auto") -> jnp.ndarray:
+                          impl: str = "auto",
+                          chunk_mb: Optional[int] = None) -> jnp.ndarray:
     """Dispatch per the module docstring.
 
     Self-attention sequences here are latent grids (4096 tokens at 1024²,
@@ -110,7 +123,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     b, s, h, _ = q.shape
     t = k.shape[1]
-    resolved = resolve_impl(impl, b, s, t, h)
+    resolved = resolve_impl(impl, b, s, t, h, chunk_mb)
     if resolved == "flash":
         from sdxl_training_improvements_tpu.ops import flash_attention
         return flash_attention.flash_attention(q, k, v)

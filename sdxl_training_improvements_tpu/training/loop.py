@@ -65,9 +65,12 @@ class SDXLTrainer:
         if self.mesh is not None:
             dp = (self.mesh.shape[M.DATA_AXIS]
                   * self.mesh.shape[M.FSDP_AXIS])
-            if config.training.batch_size % dp:
+            micro = (config.tpu.micro_batch_size
+                     or config.training.batch_size)
+            if micro % dp:
                 raise ValueError(
-                    f"training.batch_size ({config.training.batch_size}) "
+                    f"the micro-batch size ({micro} = "
+                    f"tpu.micro_batch_size or training.batch_size) "
                     f"must be divisible by the data-parallel mesh extent "
                     f"({dp} = data {self.mesh.shape[M.DATA_AXIS]} x fsdp "
                     f"{self.mesh.shape[M.FSDP_AXIS]}): each micro-batch is "
@@ -170,7 +173,8 @@ class SDXLTrainer:
         model = SDXLModel.create(tiny=tiny, policy=policy,
                                  remat=self.config.tpu.remat,
                                  remat_policy=self.config.tpu.remat_policy,
-                                 attn_impl=self.config.tpu.attention_impl)
+                                 attn_impl=self.config.tpu.attention_impl,
+                                 attn_chunk_mb=self.config.tpu.attn_chunk_mb)
         local = Path(name)
         if local.exists():
             self.logger.info(f"Loading pretrained SDXL from {local}")

@@ -101,47 +101,54 @@ class TestDispatch:
             attention.resolve_impl("bogus", 1, 1, 1, 1)
 
     def test_auto_threshold(self, monkeypatch):
-        attention._chunk_threshold_bytes.cache_clear()
         monkeypatch.delenv("SDXL_TPU_ATTN_CHUNK_MB", raising=False)
-        try:
-            # every latent self-attention site resolves chunked (64 MB
-            # default threshold; all-chunked measured 10.6% faster than
-            # all-monolithic at b1 @1024^2, outputs/measure_r3.json):
-            # b1 @1024^2 640-ch stage: [1,10,4096,4096] fp32 = 640 MB
-            assert attention.resolve_impl(
-                "auto", 1, 4096, 4096, 10) == "chunked"
-            # b1 1280-ch stage: [1,20,1024,1024] fp32 = 80 MB
-            assert attention.resolve_impl(
-                "auto", 1, 1024, 1024, 20) == "chunked"
-            # batch-4: 2.5 GB -> chunked (the measured OOM tensor)
-            assert attention.resolve_impl(
-                "auto", 4, 4096, 4096, 10) == "chunked"
-            # cross-attention (77 text tokens) stays monolithic
-            assert attention.resolve_impl("auto", 4, 4096, 77, 10) == "xla"
-            # tiny-model shapes stay monolithic
-            assert attention.resolve_impl("auto", 1, 256, 256, 8) == "xla"
-        finally:
-            attention._chunk_threshold_bytes.cache_clear()
+        # every latent self-attention site resolves chunked (64 MB
+        # default threshold; all-chunked measured 10.6% faster than
+        # all-monolithic at b1 @1024^2, outputs/measure_r3.json):
+        # b1 @1024^2 640-ch stage: [1,10,4096,4096] fp32 = 640 MB
+        assert attention.resolve_impl(
+            "auto", 1, 4096, 4096, 10) == "chunked"
+        # b1 1280-ch stage: [1,20,1024,1024] fp32 = 80 MB
+        assert attention.resolve_impl(
+            "auto", 1, 1024, 1024, 20) == "chunked"
+        # batch-4: 2.5 GB -> chunked (the measured OOM tensor)
+        assert attention.resolve_impl(
+            "auto", 4, 4096, 4096, 10) == "chunked"
+        # cross-attention (77 text tokens) stays monolithic
+        assert attention.resolve_impl("auto", 4, 4096, 77, 10) == "xla"
+        # tiny-model shapes stay monolithic
+        assert attention.resolve_impl("auto", 1, 256, 256, 8) == "xla"
+
+    def test_remat_threshold(self, monkeypatch):
+        """Under remat the UNet passes chunk_mb=512 (chunked's VJP pays a
+        second recompute on top of remat's, so monolithic wins where the
+        probs transient is affordable — b4 @1024^2 dots_small: 1483 ms at
+        512 MB vs 1538 ms all-chunked, outputs/measure_r3.json)."""
+        monkeypatch.delenv("SDXL_TPU_ATTN_CHUNK_MB", raising=False)
+        # b4 64^2 stage: 2.5 GB -> still chunked even at 512 MB
+        assert attention.resolve_impl(
+            "auto", 4, 4096, 4096, 10, chunk_mb=512) == "chunked"
+        # b4 32^2 stage: [4,20,1024,1024] fp32 = 336 MB -> monolithic
+        assert attention.resolve_impl(
+            "auto", 4, 1024, 1024, 20, chunk_mb=512) == "xla"
+        # same site under the no-remat 64 MB default -> chunked
+        assert attention.resolve_impl(
+            "auto", 4, 1024, 1024, 20) == "chunked"
 
     def test_auto_threshold_env_override(self, monkeypatch):
         monkeypatch.setenv("SDXL_TPU_ATTN_CHUNK_MB", "1")
-        attention._chunk_threshold_bytes.cache_clear()
-        try:
-            assert attention.resolve_impl("auto", 1, 256, 256, 8) == "chunked"
-        finally:
-            attention._chunk_threshold_bytes.cache_clear()
+        assert attention.resolve_impl("auto", 1, 256, 256, 8) == "chunked"
+        # env wins over an explicit per-call threshold
+        assert attention.resolve_impl(
+            "auto", 1, 256, 256, 8, chunk_mb=512) == "chunked"
 
     def test_dispatch_chunked_runs(self, monkeypatch):
         monkeypatch.setenv("SDXL_TPU_ATTN_CHUNK_MB", "0.001")
-        attention._chunk_threshold_bytes.cache_clear()
-        try:
-            q, k, v = _qkv(5, 1, 128, 128, 2, 32)
-            out = attention.dot_product_attention(q, k, v, impl="auto")
-            ref = attention.dot_product_attention_reference(q, k, v)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                       atol=1e-5, rtol=1e-5)
-        finally:
-            attention._chunk_threshold_bytes.cache_clear()
+        q, k, v = _qkv(5, 1, 128, 128, 2, 32)
+        out = attention.dot_product_attention(q, k, v, impl="auto")
+        ref = attention.dot_product_attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
 
 
 class TestProbe:

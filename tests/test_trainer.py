@@ -1,5 +1,6 @@
 """Train-step tests: ddpm + flow_matching methods, grad accumulation,
 clipping, finite-guard, and data-parallel execution on the 8-device mesh."""
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,6 +138,40 @@ class TestGradAccum:
         batch = make_batch(jax.random.key(1), 4)
         with pytest.raises(Exception):
             step(state, batch)
+
+    def test_micro_batch_retile_is_exact(self, tiny_model):
+        """tpu.micro_batch_size re-tiles the same global batch: batch 4 x
+        accum 1 at micro 2 must be bit-identical to batch 2 x accum 2
+        (both resolve to a 2-long scan over micro-batches of 2, same RNG
+        split sequence, same samples)."""
+        batch = make_batch(jax.random.key(1), 4)
+
+        cfg_a = Config()
+        cfg_a.optimizer.optimizer_type = "adamw"
+        cfg_a.training.batch_size = 2
+        cfg_a.training.gradient_accumulation_steps = 2
+        step_a, state_a = build(cfg_a, tiny_model)
+        out_a, m_a = step_a(state_a, batch)
+
+        cfg_b = Config()
+        cfg_b.optimizer.optimizer_type = "adamw"
+        cfg_b.training.batch_size = 4
+        cfg_b.training.gradient_accumulation_steps = 1
+        cfg_b.tpu.micro_batch_size = 2
+        step_b, state_b = build(cfg_b, tiny_model)
+        out_b, m_b = step_b(state_b, batch)
+
+        assert float(m_a["loss"]) == float(m_b["loss"])
+        chex.assert_trees_all_equal(out_a.params, out_b.params)
+
+    def test_micro_batch_must_divide_global(self, tiny_model):
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw"
+        cfg.training.batch_size = 4
+        cfg.training.gradient_accumulation_steps = 1
+        cfg.tpu.micro_batch_size = 3
+        with pytest.raises(ValueError, match="must divide the global"):
+            build(cfg, tiny_model)
 
 
 class TestClipping:

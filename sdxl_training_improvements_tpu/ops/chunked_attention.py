@@ -23,10 +23,22 @@ standard flash-attention backward identity ``dS = P * (dP - delta)`` with
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _default_chunk() -> int:
+    """Query-chunk size (rows per scan step).  512 is the measured default
+    (v5e sweep, outputs/measure_r3.json: 512 vs 1024 at b1 @1024^2);
+    ``SDXL_TPU_ATTN_QCHUNK`` overrides for A/B measurement."""
+    try:
+        return int(os.environ.get("SDXL_TPU_ATTN_QCHUNK", "512"))
+    except ValueError:
+        return 512
+
 
 DEFAULT_CHUNK = 512
 
@@ -121,7 +133,7 @@ _chunked_core.defvjp(_chunked_core_fwd, _chunked_core_bwd)
 
 def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       scale: Optional[float] = None,
-                      chunk: int = DEFAULT_CHUNK) -> jnp.ndarray:
+                      chunk: Optional[int] = None) -> jnp.ndarray:
     """q: [B, S, H, D]; k, v: [B, T, H, D] -> [B, S, H, D].
 
     Pads S to a chunk multiple (padded query rows carry zero cotangents in
@@ -131,7 +143,7 @@ def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, s, h, d = q.shape
     t = k.shape[1]
     scale = (d ** -0.5) if scale is None else scale
-    chunk = min(chunk, _ceil_to(s, 128))
+    chunk = min(chunk if chunk else _default_chunk(), _ceil_to(s, 128))
     sp = _ceil_to(s, chunk)
 
     def to3(x, length):

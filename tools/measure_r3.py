@@ -135,6 +135,15 @@ FWD_CASES = {
                                  attn_impl="auto", steps=6, warmup=2),
     "b1_nomat_auto_ms": dict(batch=1, remat=False, remat_policy="full",
                              attn_impl="auto", steps=10, warmup=3),
+    # q-chunk-size A/B for the chunked path (DEFAULT_CHUNK sweep): larger
+    # chunks = fewer scan steps / larger per-step matmuls, same total
+    # logits traffic
+    "b1_nomat_chunked_q1024_ms": dict(
+        batch=1, remat=False, remat_policy="full", attn_impl="chunked",
+        steps=10, warmup=3, env={"SDXL_TPU_ATTN_QCHUNK": "1024"}),
+    "b1_nomat_chunked_q2048_ms": dict(
+        batch=1, remat=False, remat_policy="full", attn_impl="chunked",
+        steps=10, warmup=3, env={"SDXL_TPU_ATTN_QCHUNK": "2048"}),
 }
 
 

@@ -207,7 +207,7 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
     return total_sec, total_params
 
 
-def bench_soap_full_scale(cfg, hw, n_chunks=4):
+def bench_soap_full_scale(cfg, hw, n_chunks=6):
     """Opt-in (SDXL_BENCH_SOAP=1): SOAP over the full UNet tree — AOT
     compile time for the WHOLE tree in one program (the ~1300-leaf
     compile-scalability question), then chunked execution for step and
@@ -236,12 +236,18 @@ def bench_soap_full_scale(cfg, hw, n_chunks=4):
         return optax.apply_updates(p, upd), s2
 
     out = {"soap_leaves": len(leaves)}
-    # 1) full-tree AOT compile (no buffers allocated)
-    full = jax.tree_util.tree_unflatten(treedef, leaves)
-    state_shape = jax.eval_shape(opt.init, full)
-    t0 = time.perf_counter()
-    jax.jit(step_fn).lower(full, state_shape, full).compile()
-    out["soap_full_tree_compile_s"] = round(time.perf_counter() - t0, 1)
+    # 1) full-tree AOT compile (no buffers allocated).  Independent of
+    # phase 2: through the dev tunnel the single ~1300-leaf program can
+    # OOM-kill the remote compile helper — record that instead of
+    # aborting the step/refresh timings below.
+    try:
+        full = jax.tree_util.tree_unflatten(treedef, leaves)
+        state_shape = jax.eval_shape(opt.init, full)
+        t0 = time.perf_counter()
+        jax.jit(step_fn).lower(full, state_shape, full).compile()
+        out["soap_full_tree_compile_s"] = round(time.perf_counter() - t0, 1)
+    except Exception as e:
+        out["soap_full_tree_compile_s"] = f"FAILED: {repr(e)[:200]}"
 
     # 2) chunked execution: plain step + refresh step
     order = sorted(range(len(leaves)), key=lambda i: -leaves[i].size)
@@ -413,9 +419,12 @@ def main():
 
     ok_rows = [r for r in rows if "samples_per_s" in r]
     headline = ok_rows[0] if ok_rows else None
+    # a failed optimizer phase means the headline can only be fwd+bwd —
+    # the metric name must say so, not impersonate the full-step number
+    metric = ("sdxl_1024sq_full_train_step_samples_per_s_per_chip"
+              if headline else "sdxl_1024sq_fwd_bwd_samples_per_s_per_chip")
     result = {
-        "metric": ("sdxl_1024sq_full_train_step_samples_per_s_per_chip"
-                   if on_tpu else "tiny_unet_cpu_smoke_samples_per_s"),
+        "metric": metric if on_tpu else "tiny_unet_cpu_smoke_samples_per_s",
         "value": headline["samples_per_s"] if headline else (
             rows[0].get("fwd_bwd_samples_per_s", 0.0) if rows else 0.0),
         "unit": "samples/s/chip",

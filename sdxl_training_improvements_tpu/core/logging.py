@@ -405,10 +405,19 @@ class LogManager:
         return built
 
     def cleanup(self) -> None:
-        for lg in self.loggers.values():
-            if isinstance(lg, UnifiedLogger):  # skip in-flight reservations
-                lg.finish()
-        self.loggers.clear()
+        # snapshot/remove built loggers under the lock (a concurrent get()
+        # may publish mid-iteration); KEEP in-flight reservations so their
+        # builder publishes into the surviving slot rather than
+        # resurrecting a logger cleanup never saw (that logger is then
+        # simply newer than this cleanup).  finish() — wandb teardown,
+        # network — runs outside the lock.
+        with self._lock:
+            built = [lg for lg in self.loggers.values()
+                     if isinstance(lg, UnifiedLogger)]
+            self.loggers = {name: lg for name, lg in self.loggers.items()
+                            if not isinstance(lg, UnifiedLogger)}
+        for lg in built:
+            lg.finish()
 
 
 def setup_logging(config: Optional[LogConfig] = None,

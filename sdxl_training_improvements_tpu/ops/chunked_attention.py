@@ -30,17 +30,17 @@ import jax
 import jax.numpy as jnp
 
 
+DEFAULT_CHUNK = 512
+
+
 def _default_chunk() -> int:
-    """Query-chunk size (rows per scan step).  512 is the measured default
-    (v5e sweep, outputs/measure_r3.json: 512 vs 1024 at b1 @1024^2);
+    """Query-chunk size (rows per scan step).  ``DEFAULT_CHUNK`` is the
+    measured default (v5e sweep, outputs/measure_r3.json);
     ``SDXL_TPU_ATTN_QCHUNK`` overrides for A/B measurement."""
     try:
-        return int(os.environ.get("SDXL_TPU_ATTN_QCHUNK", "512"))
+        return int(os.environ.get("SDXL_TPU_ATTN_QCHUNK", DEFAULT_CHUNK))
     except ValueError:
-        return 512
-
-
-DEFAULT_CHUNK = 512
+        return DEFAULT_CHUNK
 
 
 def _ceil_to(x: int, m: int) -> int:

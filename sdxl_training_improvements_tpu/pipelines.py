@@ -37,17 +37,23 @@ class SDXLPipeline:
         self.method = method  # routes the sampler (ddpm | flow_matching)
 
     @staticmethod
-    def detect_method(model_dir) -> str:
-        """Read ``training.method`` from the checkpoint's exported
-        ``config.json`` (written by ``export_diffusers``); "ddpm" when the
-        checkpoint predates the field or is a plain diffusers export."""
+    def declared_method(model_dir) -> Optional[str]:
+        """``training.method`` as the checkpoint's exported ``config.json``
+        declares it (written by ``export_diffusers``), or None when the
+        checkpoint predates the field / is a plain diffusers export."""
         import json
         cfg_path = Path(model_dir) / "config.json"
         try:
             raw = json.loads(cfg_path.read_text())
-            return raw.get("training", {}).get("method", "ddpm") or "ddpm"
+            return raw.get("training", {}).get("method") or None
         except (OSError, ValueError):
-            return "ddpm"
+            return None
+
+    @classmethod
+    def detect_method(cls, model_dir) -> str:
+        """``declared_method`` with the "ddpm" default for undeclared
+        checkpoints."""
+        return cls.declared_method(model_dir) or "ddpm"
 
     @classmethod
     def from_pretrained(cls, model_dir, tiny: bool = False,
@@ -58,13 +64,23 @@ class SDXLPipeline:
         sigma-space ZTSNR sampler (and vice versa)."""
         from sdxl_training_improvements_tpu.training.checkpoints import (
             import_diffusers)
+        declared = cls.declared_method(model_dir)
+        if method and declared and method != declared:
+            # sampling a flow-trained UNet through the sigma-space ZTSNR
+            # sampler (or vice versa) is numerically meaningless — refuse
+            # (before the expensive weight load) rather than emit garbage
+            raise ValueError(
+                f"checkpoint at {model_dir} was trained with method "
+                f"{declared!r}; refusing to sample it as {method!r}. "
+                "Use --method auto (or omit method) to follow the "
+                "checkpoint.")
+        method = method or declared or "ddpm"
         model = SDXLModel.create(tiny=tiny)
         model.params = import_diffusers(model, model_dir)
         missing = {"unet", "vae", "clip_l", "clip_g"} - set(model.params)
         if missing:
             raise FileNotFoundError(
                 f"checkpoint at {model_dir} missing components: {missing}")
-        method = method or cls.detect_method(model_dir)
         return cls(model, load_tokenizers(Path(model_dir)), schedule,
                    method=method)
 

@@ -254,10 +254,14 @@ class SDXLTrainer:
             return self.val_dataset
         from sdxl_training_improvements_tpu.data.cache import CacheManager
         cache = None
-        if self.config.global_config.cache.use_cache:
-            cache = CacheManager(
-                Path(self.config.global_config.cache.cache_dir)
-                / "validation")
+        ccfg = self.config.global_config.cache
+        # mirror create_dataset's placement policy: a persistent cache gets
+        # a dedicated validation/ subdirectory; with persistence disabled
+        # leave cache_manager=None so create_dataset builds the ephemeral
+        # per-run cache (stale held-out latents must never outlive the VAE
+        # weights that produced them — they drive best-checkpoint selection)
+        if ccfg.persistent:
+            cache = CacheManager(Path(ccfg.cache_dir) / "validation")
         self.val_dataset = create_dataset(self.config, cache_manager=cache,
                                           data_dir=val_dir)
         self._precompute_into(self.val_dataset, label="validation")
@@ -409,13 +413,35 @@ class SDXLTrainer:
         from sdxl_training_improvements_tpu.training.validation import (
             validation_loss)
         try:
-            return validation_loss(
+            vloss = validation_loss(
                 self._apply_fn, self.state.params, val_ds, self.schedule,
                 self.config,
                 key=jax.random.key(self.config.training.seed + 17))
         except Exception as e:  # never kill training over validation
             self.logger.warning(f"validation loss failed: {e}")
+            vloss = None
+        if jax.process_count() == 1:
+            return vloss
+        # Multi-host: the caller feeds this into `track_loss < best_loss`,
+        # which gates a COLLECTIVE best-checkpoint save — every host must
+        # see the same value (see the NOTE at the call site).  A per-host
+        # failure (or per-host val shards under cache.partitioned) would
+        # diverge the branch and hang the collective, so exchange
+        # (ok, loss) and agree: any failure -> None everywhere, else the
+        # cross-host mean (replicated by construction).
+        import numpy as np
+        from jax.experimental import multihost_utils
+        local = np.asarray(
+            [np.nan if vloss is None else float(vloss)], np.float64)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(local, tiled=True))
+        if np.isnan(gathered).any():
+            if vloss is not None:
+                self.logger.warning(
+                    "validation loss failed on another host; skipping "
+                    "val tracking this epoch on every host")
             return None
+        return float(gathered.mean())
 
     def run_validation_images(self) -> None:
         """Sample ``data.validation_prompts`` and log images (wandb sampling

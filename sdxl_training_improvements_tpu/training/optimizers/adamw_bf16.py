@@ -139,6 +139,12 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
         v = v * beta2 + (1.0 - beta2) * g32 * g32
         return m, v  # delta computed by caller (needs cur_lr)
 
+    def f32_delta(p, m, v, cur_lr, denom_correction):
+        """The exact-arithmetic AdamW delta for fp32 leaves — the ONE
+        definition every packing variant shares (bit-identical paths)."""
+        return (-cur_lr * denom_correction) * m \
+            / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p
+
     # ------------------------------------------------------ bf16 chain body
     def bf16_update(p, g, m, v, shift, acc_decay, key, cur_lr,
                     denom_correction):
@@ -231,8 +237,7 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                 # fp32 leaves (norm scales/biases) need no stochastic
                 # rounding: same update formula, exact arithmetic
                 m, v = f32_update(p, g, m, v)
-                delta = (-cur_lr * denom_correction) * m \
-                    / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p
+                delta = f32_delta(p, m, v, cur_lr, denom_correction)
                 return delta, m, v, shift, acc_decay
             return bf16_update(p, g, m, v, shift, acc_decay, key, cur_lr,
                                denom_correction)
@@ -320,8 +325,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             name = f"leaf_{i}"
             m, v = f32_update(p_leaves[i], g_leaves[i],
                               state.exp_avg[name], state.exp_avg_sq[name])
-            deltas[i] = (-cur_lr * denom_correction) * m \
-                / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p_leaves[i]
+            deltas[i] = f32_delta(p_leaves[i], m, v, cur_lr,
+                                  denom_correction)
             new_m[name], new_v[name] = m, v
 
         new_state = AdamWBF16State(
@@ -430,8 +435,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             name = f"leaf_{i}"
             m, v = f32_update(p_leaves[i], g_leaves[i],
                               state.exp_avg[name], state.exp_avg_sq[name])
-            deltas[i] = (-cur_lr * denom_correction) * m \
-                / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p_leaves[i]
+            deltas[i] = f32_delta(p_leaves[i], m, v, cur_lr,
+                                  denom_correction)
             new_m[name], new_v[name] = m, v
 
         new_state = AdamWBF16State(
@@ -523,8 +528,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             name = f"leaf_{i}"
             m, v = f32_update(p_leaves[i], g_leaves[i],
                               state.exp_avg[name], state.exp_avg_sq[name])
-            deltas[i] = (-cur_lr * denom_correction) * m \
-                / (jnp.sqrt(v) + eps) - weight_decay * cur_lr * p_leaves[i]
+            deltas[i] = f32_delta(p_leaves[i], m, v, cur_lr,
+                                  denom_correction)
             new_m[name], new_v[name] = m, v
 
         new_state = AdamWBF16State(

@@ -188,8 +188,12 @@ class ValidationLogger:
 # per epoch and a fresh `@jax.jit` closure each call would retrace every
 # time.  Identity (`is`) matching with strong refs — ids alone could be
 # reused after GC and silently return a jit built over a *different*
-# schedule/config.  Bounded: cleared when trainers churn.
+# schedule/config.  The strong refs retain unet_apply's bound model (full
+# params), so the cache is tiny: 2 entries FIFO — one live trainer plus
+# one in transition; a stale trainer's model is released on the next
+# insert, never accumulated.
 _VAL_JIT_CACHE: list = []
+_VAL_JIT_CACHE_MAX = 2
 
 
 def _jitted_val_loss(loss_fn, unet_apply, schedule, mcfg):
@@ -197,8 +201,8 @@ def _jitted_val_loss(loss_fn, unet_apply, schedule, mcfg):
     for refs, fn in _VAL_JIT_CACHE:
         if len(refs) == len(objs) and all(r is o for r, o in zip(refs, objs)):
             return fn
-    if len(_VAL_JIT_CACHE) > 16:
-        _VAL_JIT_CACHE.clear()
+    while len(_VAL_JIT_CACHE) >= _VAL_JIT_CACHE_MAX:
+        _VAL_JIT_CACHE.pop(0)
 
     @jax.jit
     def jitted(p, batch, k):

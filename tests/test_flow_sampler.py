@@ -108,8 +108,22 @@ class TestPipelineMethodDetection:
     def test_detect_defaults_to_ddpm(self, tmp_path):
         from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
         assert SDXLPipeline.detect_method(tmp_path) == "ddpm"  # no file
+        assert SDXLPipeline.declared_method(tmp_path) is None
         (tmp_path / "config.json").write_text("{not json")
         assert SDXLPipeline.detect_method(tmp_path) == "ddpm"
+        assert SDXLPipeline.declared_method(tmp_path) is None
+
+    def test_refuses_method_mismatched_checkpoint(self, tmp_path):
+        """An explicit method that contradicts the checkpoint's declared
+        training.method must refuse (sigma-space sampling of a flow-trained
+        UNet emits garbage).  Undeclared checkpoints accept any method."""
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        cfg = Config()
+        cfg.training.method = "flow_matching"
+        (tmp_path / "config.json").write_text(
+            json.dumps(cfg.to_dict(), default=str))
+        with pytest.raises(ValueError, match="refusing to sample"):
+            SDXLPipeline.from_pretrained(tmp_path, tiny=True, method="ddpm")
 
     def test_generate_cli_accepts_method(self):
         from sdxl_training_improvements_tpu.generate import build_parser

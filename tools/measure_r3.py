@@ -149,8 +149,9 @@ FWD_CASES = {
 
 def run_fwd_case(name):
     kw = dict(FWD_CASES[name])
-    for k, v in kw.pop("env", {}).items():
-        os.environ[k] = v
+    env = kw.pop("env", {})
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
     try:
         log(f"fwd+bwd {name} ...")
         t = bench_fwd_bwd_cfg(**kw)
@@ -158,6 +159,12 @@ def run_fwd_case(name):
     except Exception as e:
         traceback.print_exc()
         record(name, f"FAILED: {type(e).__name__}: {str(e)[:300]}")
+    finally:
+        for k, v in saved.items():  # don't leak into the next case
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def phase_b4():

@@ -431,6 +431,10 @@ class SDXLTrainer:
         # cross-host mean (replicated by construction).
         import numpy as np
         from jax.experimental import multihost_utils
+        # coordination-service barrier first: validation wall time can skew
+        # hosts beyond Gloo's ~30s connect timeout (parallel/mesh.barrier
+        # rides the long-timeout coordination service instead)
+        M.barrier("val_loss_exchange")
         local = np.asarray(
             [np.nan if vloss is None else float(vloss)], np.float64)
         gathered = np.asarray(

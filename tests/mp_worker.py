@@ -119,7 +119,37 @@ def scenario_integrity(pid, nprocs, workdir):
         return {"raised": True, "message": str(e)[:200]}
 
 
-SCENARIOS = {"train": scenario_train, "integrity": scenario_integrity}
+def scenario_valloss(pid, nprocs, workdir):
+    """Cross-host validation-loss agreement (loop.run_validation_loss):
+    a per-host failure must yield None on EVERY host (the value gates the
+    collective best-checkpoint save), and per-host val values must reduce
+    to one replicated mean."""
+    from sdxl_training_improvements_tpu.parallel import mesh as M
+    M.initialize_multihost()
+    cfg, trainer = _trainer(workdir, pid)
+    from sdxl_training_improvements_tpu.training import validation as V
+
+    calls = {"n": 0}
+
+    def fake_loss(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1 and pid == 1:
+            raise RuntimeError("injected per-host validation failure")
+        return 0.5 + 0.1 * pid  # per-host shards -> different local values
+
+    orig = V.validation_loss
+    V.validation_loss = fake_loss
+    try:
+        first = trainer.run_validation_loss(object())   # host 1 fails
+        second = trainer.run_validation_loss(object())  # both succeed
+    finally:
+        V.validation_loss = orig
+    return {"first_is_none": first is None,
+            "second": None if second is None else float(second)}
+
+
+SCENARIOS = {"train": scenario_train, "integrity": scenario_integrity,
+             "valloss": scenario_valloss}
 
 
 def main():

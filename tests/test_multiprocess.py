@@ -96,6 +96,18 @@ def test_two_process_train_partitioned_cache(tmp_path):
 
 
 @pytest.mark.multiprocess
+def test_two_process_val_loss_agreement(tmp_path):
+    _make_images(tmp_path)
+    r0, r1 = _run_scenario("valloss", tmp_path)
+    # host 1's injected failure -> None on BOTH hosts (the value gates the
+    # collective best-checkpoint save; a one-sided value would hang it)
+    assert r0["first_is_none"] and r1["first_is_none"]
+    # per-host shard values (0.5 / 0.6) reduce to one replicated mean
+    assert r0["second"] == pytest.approx(0.55)
+    assert r1["second"] == pytest.approx(0.55)
+
+
+@pytest.mark.multiprocess
 def test_two_process_integrity_gate_raises_everywhere(tmp_path):
     _make_images(tmp_path)
     r0, r1 = _run_scenario("integrity", tmp_path)

@@ -67,12 +67,37 @@ def _finite_elements(err: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(err), err, jnp.float32(LOSS_CLAMP))
 
 
-def _apply_tag_weights(loss: jnp.ndarray, batch) -> jnp.ndarray:
-    """loss *= mean(tag_weights) when present (``ddpm_trainer.py:347-368``)."""
+def _apply_tag_weights(per_sample: jnp.ndarray, batch) -> jnp.ndarray:
+    """Per-sample tag weighting: ``l_i *= w_i``.
+
+    The reference computes per-image weights and then collapses them —
+    ``loss = loss * tag_weights.mean()`` (``ddpm_trainer.py:347-368``),
+    multiplying the batch-mean loss by the batch-mean weight — which (a)
+    discards the per-image weighting it just built and (b) makes every
+    sample's effective weight depend on which other samples share its
+    batch.  We keep each image's weight on that image: the semantics the
+    tag weighter computed, and invariant under ``tpu.micro_batch_size``
+    re-tiling (the weighted batch mean is the same sum regardless of how
+    the batch is split into micro-batches)."""
     tw = batch.get("tag_weights")
     if tw is None:
-        return loss
-    return loss * jnp.mean(tw.astype(jnp.float32))
+        return per_sample
+    return per_sample * tw.astype(jnp.float32)
+
+
+def sample_keys(batch) -> "jax.Array | None":
+    """Per-sample PRNG keys threaded by the trainer, or None.
+
+    The train step keys every sample's randomness (noise, timesteps) by its
+    position in the GLOBAL batch (``trainer.py``), carried through the
+    accumulation scan as raw ``key_data`` so it reshapes/shards like any
+    other batch leaf.  Methods that consume these are exactly re-tilable by
+    ``tpu.micro_batch_size``; a method that ignores them still works but its
+    draws become micro-batch-shaped (the pre-round-3 behavior)."""
+    kd = batch.get("sample_keys")
+    if kd is None:
+        return None
+    return jax.random.wrap_key_data(kd)
 
 
 @register_method("ddpm")
@@ -86,14 +111,25 @@ def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
     ``(eps-x)/sigma``, MinSNR-weighted MSE, tag weighting, finite guard.
     """
     x = batch["vae_latents"]
-    k_noise, k_t, k_apply = jax.random.split(rng, 3)
+    keys = sample_keys(batch)
+    if keys is None:  # direct call (validation, parity tools): micro-keyed
+        k_noise, k_t, k_apply = jax.random.split(rng, 3)
+        kn = kt = None
+    else:  # trainer path: sample-position-keyed -> re-tiling-invariant
+        k_apply = rng  # dropout masks (off by default) stay micro-keyed
+        ks2 = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        kn, kt = ks2[:, 0], ks2[:, 1]
     # deterministic-replay overrides: when the batch carries explicit
     # "noise"/"timesteps" (parity harnesses, reproduction of a logged step),
     # consume them instead of sampling — the loss becomes a pure function of
     # the batch.
     noise = batch.get("noise")
     if noise is None:
-        noise = jax.random.normal(k_noise, x.shape, dtype=jnp.float32)
+        if kn is None:
+            noise = jax.random.normal(k_noise, x.shape, dtype=jnp.float32)
+        else:
+            noise = jax.vmap(lambda k: jax.random.normal(
+                k, x.shape[1:], dtype=jnp.float32))(kn)
     t = batch.get("timesteps")
     if t is None:
         weights = None
@@ -105,7 +141,11 @@ def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
                 bias_multiplier=getattr(mcfg, "timestep_bias_multiplier", 2.0),
                 bias_begin=int(getattr(mcfg, "timestep_bias_min", 0.0) * n),
                 bias_end=int(getattr(mcfg, "timestep_bias_max", 1.0) * n))
-        t = schedule.sample_timesteps(k_t, x.shape[0], weights=weights)
+        if kt is None:
+            t = schedule.sample_timesteps(k_t, x.shape[0], weights=weights)
+        else:
+            t = jax.vmap(lambda k: schedule.sample_timesteps(
+                k, 1, weights=weights)[0])(kt)
 
     x32 = x.astype(jnp.float32)
     noisy = schedule.add_noise(x32, noise, t)
@@ -120,13 +160,14 @@ def ddpm_loss(unet_apply, params, batch, rng, schedule: S.NoiseSchedule,
         target = noise
 
     mse = _finite_elements((pred - target) ** 2)
+    # per-sample decomposition: mean(mse * w[:,None,None,None]) ==
+    # mean_i(w_i * mean_pix(mse_i)) — same numerics, and per-sample form
+    # keeps the loss a mean of per-sample terms (re-tiling-invariant)
+    per_sample = jnp.mean(mse, axis=(1, 2, 3))
     if schedule.min_snr_gamma is not None:
-        w = schedule.min_snr_weight(t)
-        loss = jnp.mean(mse * w[:, None, None, None])
-    else:
-        loss = jnp.mean(mse)
-    loss = _apply_tag_weights(loss, batch)
-    loss = _finite_guard(loss)
+        per_sample = per_sample * schedule.min_snr_weight(t)
+    per_sample = _apply_tag_weights(per_sample, batch)
+    loss = _finite_guard(jnp.mean(per_sample))
 
     tf = t.astype(jnp.float32)
     metrics = {
@@ -152,13 +193,27 @@ def flow_matching_loss(unet_apply, params, batch, rng,
     ledger defect we do not carry).
     """
     x1 = batch["vae_latents"].astype(jnp.float32)
-    k_t, k_x0, k_apply = jax.random.split(rng, 3)
+    keys = sample_keys(batch)
+    if keys is None:  # direct call: micro-keyed (see ddpm)
+        k_t, k_x0, k_apply = jax.random.split(rng, 3)
+        kx0 = kt = None
+    else:  # trainer path: sample-position-keyed -> re-tiling-invariant
+        k_apply = rng
+        ks2 = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        kx0, kt = ks2[:, 0], ks2[:, 1]
     t = batch.get("timesteps")  # deterministic-replay override (see ddpm)
     if t is None:
-        t = S.sample_logit_normal(k_t, (x1.shape[0],))
+        if kt is None:
+            t = S.sample_logit_normal(k_t, (x1.shape[0],))
+        else:
+            t = jax.vmap(lambda k: S.sample_logit_normal(k, ()))(kt)
     x0 = batch.get("noise")
     if x0 is None:
-        x0 = jax.random.normal(k_x0, x1.shape, dtype=jnp.float32)
+        if kx0 is None:
+            x0 = jax.random.normal(k_x0, x1.shape, dtype=jnp.float32)
+        else:
+            x0 = jax.vmap(lambda k: jax.random.normal(
+                k, x1.shape[1:], dtype=jnp.float32))(kx0)
 
     xt = S.optimal_transport_path(x0, x1, t)
     v_pred = unet_apply(params, xt, t, batch["prompt_embeds"],
@@ -169,9 +224,8 @@ def flow_matching_loss(unet_apply, params, batch, rng,
 
     per_sample = jnp.mean(_finite_elements((v_pred - v_true) ** 2),
                           axis=(1, 2, 3))
-    loss = jnp.mean(per_sample)
-    loss = _apply_tag_weights(loss, batch)
-    loss = _finite_guard(loss)
+    per_sample = _apply_tag_weights(per_sample, batch)
+    loss = _finite_guard(jnp.mean(per_sample))
 
     metrics = {
         "loss": loss,

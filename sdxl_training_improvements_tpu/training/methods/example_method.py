@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sdxl_training_improvements_tpu.training.methods import (
-    _apply_tag_weights, _finite_guard, register_method)
+    _apply_tag_weights, _finite_guard, register_method, sample_keys)
 
 
 @register_method("example_method")
@@ -24,8 +24,14 @@ def example_method_loss(unet_apply, params, batch, rng, schedule, mcfg
     x = batch["vae_latents"].astype(jnp.float32)
     b = x.shape[0]
 
-    # 1. sample whatever randomness the method needs through `rng`
-    noise = jax.random.normal(rng, x.shape)
+    # 1. sample the method's randomness — prefer the trainer's per-sample
+    #    keys (keeps the method exactly re-tilable by tpu.micro_batch_size);
+    #    fall back to the micro-batch `rng` for direct calls
+    keys = sample_keys(batch)
+    if keys is None:
+        noise = jax.random.normal(rng, x.shape)
+    else:
+        noise = jax.vmap(lambda k: jax.random.normal(k, x.shape[1:]))(keys)
 
     # 2. build the model input (here: fixed mid-schedule noise level)
     t = jnp.full((b,), schedule.num_timesteps // 2, jnp.int32)
@@ -35,12 +41,12 @@ def example_method_loss(unet_apply, params, batch, rng, schedule, mcfg
     pred = unet_apply(params, noisy, t, batch["prompt_embeds"],
                       batch["pooled_prompt_embeds"], batch["time_ids"])
 
-    # 4. the method's loss
-    loss = jnp.mean((pred.astype(jnp.float32) - x) ** 2)
+    # 4. the method's loss, as a mean of per-sample terms
+    per_sample = jnp.mean((pred.astype(jnp.float32) - x) ** 2, axis=(1, 2, 3))
 
     # 5. standard tail: tag weighting + finite guard (keep these)
-    loss = _apply_tag_weights(loss, batch)
-    loss = _finite_guard(loss)
+    per_sample = _apply_tag_weights(per_sample, batch)
+    loss = _finite_guard(jnp.mean(per_sample))
 
     return loss, {"loss": loss,
                   "pred_scale": jnp.mean(jnp.abs(pred.astype(jnp.float32)))}

@@ -61,9 +61,14 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
     micro-batches of size global_batch//G (each sharded over the data axes).
 
     ``config.tpu.micro_batch_size`` re-tiles the same global batch into
-    micro-batches of that size (G becomes global_batch/micro): identical
-    gradients — the mean over the same samples — but a small micro-batch
-    runs without remat on small-HBM chips (273.5 vs 370 ms/sample for the
+    micro-batches of that size (G becomes global_batch/micro).  The
+    re-tiling is *sample-identical*: per-sample PRNG keys (noise,
+    timesteps) and per-sample tag weights make the accumulated gradient
+    the same mean over the same per-sample terms, equal across tilings up
+    to fp32 summation order (tests/test_trainer.py::
+    test_micro_batch_retile_is_exact; dropout masks, if enabled, and the
+    non-finite loss clamp remain micro-batch-scoped).  A small micro-batch
+    runs without remat on small-HBM chips (269.3 vs 370 ms/sample for the
     reference's b4 x accum4 @1024^2 workload on a 16 GB v5e,
     outputs/measure_r3.json).
     """
@@ -88,13 +93,26 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        rng, step_rng = jax.random.split(state.rng)
-        micro_keys = jax.random.split(step_rng, accum)
+        rng, k_samples, k_micro = jax.random.split(state.rng, 3)
+        # Per-sample keys: every sample's randomness (noise, timesteps) is
+        # keyed by its position in the GLOBAL batch, carried as raw
+        # key_data so it reshapes/shards like any other batch leaf.  This
+        # is what makes tpu.micro_batch_size a pure re-tiling: the same
+        # sample draws the same noise/timestep regardless of which
+        # micro-batch it lands in (methods consume these via
+        # methods.sample_keys).  k_micro is an independent stream for the
+        # per-micro-batch key (dropout masks, custom methods that ignore
+        # sample_keys).
+        global_b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        sample_kd = jax.random.key_data(
+            jax.random.split(k_samples, global_b))
+        micro_keys = jax.random.split(k_micro, accum)
 
         def reshape(x):
             return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
 
-        micro_batches = jax.tree.map(reshape, batch)
+        micro_batches = jax.tree.map(reshape, dict(batch,
+                                                   sample_keys=sample_kd))
 
         def scan_body(grads_acc, inp):
             mb, k = inp

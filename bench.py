@@ -23,8 +23,9 @@ verdict #10), each with its resolved attention implementation and MFU (XLA
 cost-analysis FLOPs over the measured time, against the chip's bf16 peak).
 The headline row executes the reference's own default workload (batch 4 x
 accum 4 = effective batch 16) as micro-batch 1 x accum 16 via
-``tpu.micro_batch_size`` — gradient-identical re-tiling of the same
-global batch (tests/test_trainer.py::test_micro_batch_retile_is_exact)
+``tpu.micro_batch_size`` — a sample-identical re-tiling of the same
+global batch (per-sample PRNG keys + per-sample tag weights; equal up to
+fp32 summation order, tests/test_trainer.py::test_micro_batch_retile_is_exact)
 that avoids rematerialisation on 16 GB-class chips; the literal
 micro-batch-4 execution is reported alongside.
 
@@ -441,8 +442,8 @@ def main():
             "bf16-SR-AdamW update / grad_accum).  The headline executes "
             "the reference's default workload (batch 4 x accum 4 = "
             "effective batch 16, config.yaml:26-33) as micro-batch 1 x "
-            "accum 16 via tpu.micro_batch_size — identical gradients over "
-            "the same 16 samples, no remat needed "
+            "accum 16 via tpu.micro_batch_size — a sample-identical "
+            "re-tiling (per-sample PRNG keys/tag weights), no remat needed "
             "(tests/test_trainer.py::test_micro_batch_retile_is_exact); "
             "the _literal row runs it at micro-batch 4 under dots_small "
             f"remat.  Optimizer update measured at full scale in {chunks} "

@@ -347,6 +347,42 @@ class TestSOAP:
         # Q orthogonal
         np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(4), atol=1e-4)
 
+    def test_stacked_matches_unrolled(self):
+        """stack_leaves (vmapped same-shape groups, the compile-scalable
+        default) must reproduce the unrolled per-leaf program exactly —
+        across install, plain, and QR-refresh steps, with merge_dims and a
+        skipped large axis in the mix."""
+        import optax
+        kw = dict(lr=0.03, weight_decay=0.01, precondition_frequency=3,
+                  merge_dims=True, max_precond_dim=24)
+        opt_s = soap(stack_leaves=True, **kw)
+        opt_u = soap(stack_leaves=False, **kw)
+        key = jax.random.key(7)
+        params = {
+            "a": jax.random.normal(jax.random.fold_in(key, 1), (8, 8)),
+            "b": jax.random.normal(jax.random.fold_in(key, 2), (8, 8)),
+            "c": jax.random.normal(jax.random.fold_in(key, 3), (8, 8)),
+            "conv": jax.random.normal(jax.random.fold_in(key, 4), (3, 3, 2, 5)),
+            "wide": jax.random.normal(jax.random.fold_in(key, 5), (4, 100)),
+            "bias": jax.random.normal(jax.random.fold_in(key, 6), (8,)),
+        }
+        ps, pu = params, params
+        ss, su = opt_s.init(params), opt_u.init(params)
+        for i in range(7):  # covers refresh steps at 3 and 6
+            g = {k: jax.random.normal(
+                jax.random.fold_in(key, 100 + 10 * i + n), p.shape)
+                for n, (k, p) in enumerate(params.items())}
+            us_, ss = jax.jit(opt_s.update)(g, ss, ps)
+            uu_, su = jax.jit(opt_u.update)(g, su, pu)
+            ps = optax.apply_updates(ps, us_)
+            pu = optax.apply_updates(pu, uu_)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(ps[k]), np.asarray(pu[k]),
+                                          err_msg=k)
+        for k in params:
+            for m_s, m_u in zip(ss.q[k], su.q[k]):
+                np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_u))
+
     def test_mesh_sharded_soap_step(self):
         """SOAP state placement under a model-sharded mesh (round-2 verdict
         weak #3): exp_avg shards like its param; exp_avg_sq/gg/q replicate

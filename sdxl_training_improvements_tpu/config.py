@@ -56,6 +56,9 @@ class OptimizerConfig:
     beta2: float = 0.999
     epsilon: float = 1e-8
     optimizer_type: str = "adamw_bf16"  # adamw_bf16 | adamw_schedule_free_kahan | soap
+    # adamw_bf16 only: hold Adam moments as 8-bit log codes + one fp32
+    # scale per leaf (4 instead of 6 state bytes/param; ops/quantize.py)
+    moments_8bit: bool = False
 
     # Schedule-free specific
     warmup_steps: int = 0

@@ -1,0 +1,83 @@
+"""8-bit log-code quantization for optimizer moments.
+
+The reference ships pure-bf16 moments (``src/training/optimizers/
+adamw_bfloat16/__init__.py`` — 3x params of state).  This module provides
+the storage-side compression for ``adamw_bf16(moments="int8")``: first and
+second Adam moments held as one uint8 code per element plus one fp32 scale
+per leaf, cutting the optimizer state from 6 to 4 bytes/param (15.4 GB ->
+10.3 GB over the 2.567B-param UNet) and the HBM traffic of the update's
+moment reads/writes by half.
+
+Design: a **log-spaced code** (0, then N values log-uniform over
+``_DECADES`` decades up to the leaf's absmax).  Unlike the linear int8
+codes common on GPU (whose error is relative to the *blockwise absmax*, so
+small elements in a block are crushed and fine-grained blocks are needed),
+a log code's quantization error is a constant ~3.7% *relative to each
+element's own value* across all 8 decades — which is what Adam's moments
+need (``v`` spans many decades; the update consumes ``m / sqrt(v)``).  One
+scale per leaf therefore suffices; there is no block bookkeeping, and the
+dequantize is a 256-entry table gather that XLA fuses into the consuming
+elementwise op.
+
+Both directions are shape-preserving and jit-safe; the signed map spends
+one bit on sign (values symmetric around 0), the unsigned map (for the
+non-negative ``v``) uses all 255 non-zero codes for magnitude, halving the
+log step.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# absmax-normalized values below 10^-_DECADES round to the 0 code; Adam
+# moments at SDXL scale span ~6 decades within a leaf, so 8 leaves margin
+_DECADES = 8.0
+
+
+@lru_cache(maxsize=None)
+def _code_np(signed: bool) -> np.ndarray:
+    if signed:
+        pos = np.logspace(-_DECADES, 0.0, 127)
+        code = np.concatenate([-pos[::-1], [0.0], pos, [1.0]])  # 256, sorted
+    else:
+        code = np.concatenate([[0.0], np.logspace(-_DECADES, 0.0, 255)])
+    return np.sort(code).astype(np.float32)
+
+
+def _code(signed: bool) -> jnp.ndarray:
+    return jnp.asarray(_code_np(signed))
+
+
+def quantize_8bit(x: jnp.ndarray, signed: bool = True) -> Dict[str, jnp.ndarray]:
+    """Quantize to ``{"q": uint8 codes (x.shape), "s": fp32 scalar scale}``.
+
+    Nearest-code rounding after absmax normalization; an all-zero input
+    gets scale 1 so dequantize returns exact zeros.
+    """
+    code = _code(signed)
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32))
+    scale = jnp.where(absmax > 0, absmax, 1.0)
+    y = x32 / scale
+    idx = jnp.clip(jnp.searchsorted(code, y), 1, code.shape[0] - 1)
+    lo = code[idx - 1]
+    hi = code[idx]
+    q = jnp.where(y - lo <= hi - y, idx - 1, idx).astype(jnp.uint8)
+    return {"q": q, "s": scale}
+
+
+def dequantize_8bit(qs: Dict[str, jnp.ndarray], signed: bool = True,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    code = _code(signed)
+    return (code[qs["q"].astype(jnp.int32)] * qs["s"]).astype(dtype)
+
+
+def quantized_zeros(shape, signed: bool = True) -> Dict[str, jnp.ndarray]:
+    """The quantized representation of an all-zeros tensor."""
+    zero_idx = int(np.searchsorted(_code_np(signed), 0.0))
+    return {"q": jnp.full(shape, zero_idx, jnp.uint8),
+            "s": jnp.ones((), jnp.float32)}

@@ -81,7 +81,9 @@ def _make_base(oc, flat_state: bool = False,
     common = dict(lr=oc.learning_rate, betas=(oc.beta1, oc.beta2),
                   eps=oc.epsilon, weight_decay=oc.weight_decay)
     if kind == "adamw_bf16":
-        return adamw_bf16(**common, flat_state=flat_state, noise=sr_noise)
+        moments = "int8" if getattr(oc, "moments_8bit", False) else "bf16"
+        return adamw_bf16(**common, flat_state=flat_state, noise=sr_noise,
+                          moments=moments)
     if kind == "adamw_schedule_free_kahan":
         return adamw_schedule_free_kahan(
             **common, warmup_steps=oc.warmup_steps, kahan_sum=oc.kahan_sum,

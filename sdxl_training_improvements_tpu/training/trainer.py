@@ -237,9 +237,14 @@ def _place_tree(tree, mesh, shard_params: bool):
         p = "/".join(str(getattr(k, "key", k)) for k in path)
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
             # scalars and typed PRNG keys (0-d) replicate — keys can't
-            # shard usefully
+            # shard usefully (this also covers the fp32 "s" scale of
+            # 8-bit moments)
             placed.append(_place(leaf, M.replicated(mesh)))
             continue
+        if leaf.dtype == jnp.uint8 and p.endswith("/q"):
+            # 8-bit moment codes (ops/quantize.py) live one level below
+            # the param path and keep its shape — shard like the param
+            p = p[:-2]
         spec = M.spec_for_param(p, leaf.shape, mesh,
                                 shard_params=shard_params)
         placed.append(_place(leaf, NamedSharding(mesh, spec)))

@@ -71,6 +71,10 @@ OPT_VARIANTS = {
     # small leaves (<1M elements; 984 of 1680 leaves, 1.85% of params)
     # packed into one flat buffer, big leaves per-leaf
     "hybrid_hash": dict(layout="hybrid", noise="hash"),
+    # 8-bit log-code moments (ops/quantize.py): 4 instead of 6 state
+    # bytes/param — less HBM traffic vs extra dequant/quant compute
+    "perleaf_int8_hash": dict(layout="per_leaf", noise="hash",
+                              moments="int8"),
 }
 
 

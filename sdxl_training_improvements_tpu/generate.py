@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="samples")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test topology (CI smoke)")
+    p.add_argument("--mesh", default=None, metavar="DATA,FSDP,TENSOR",
+                   help="serve over a device mesh, e.g. 4,1,2: the UNet is "
+                        "megatron-TP-split over the tensor axis and the "
+                        "CFG batch sharded over data x fsdp")
     return p
 
 
@@ -47,8 +51,16 @@ def main(argv=None) -> int:
     from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
 
     method = None if args.method == "auto" else args.method
+    mesh = None
+    if args.mesh:
+        from sdxl_training_improvements_tpu.parallel import mesh as M
+        shape = [int(s) for s in args.mesh.split(",")]
+        if len(shape) != 3:
+            raise SystemExit(f"--mesh wants 3 comma-separated sizes "
+                             f"(data,fsdp,tensor), got {args.mesh!r}")
+        mesh = M.create_mesh(shape)
     pipe = SDXLPipeline.from_pretrained(args.model, tiny=args.tiny,
-                                        method=method)
+                                        method=method, mesh=mesh)
     print(f"sampler method: {pipe.method}")
     images = pipe(args.prompt, height=args.height, width=args.width,
                   num_inference_steps=args.steps,

@@ -30,11 +30,15 @@ from sdxl_training_improvements_tpu.training.validation import (
 class SDXLPipeline:
     def __init__(self, model: SDXLModel, tokenizers: TokenizerPair,
                  schedule: Optional[NoiseSchedule] = None,
-                 method: str = "ddpm"):
+                 method: str = "ddpm", mesh=None):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule or NoiseSchedule.create()
         self.method = method  # routes the sampler (ddpm | flow_matching)
+        # serving parallelism: a jax.sharding.Mesh TP-splits the UNet over
+        # the tensor axis and data-parallels the CFG-stacked batch
+        # (ValidationSampler semantics); None = single device
+        self.mesh = mesh
 
     @staticmethod
     def declared_method(model_dir) -> Optional[str]:
@@ -58,7 +62,8 @@ class SDXLPipeline:
     @classmethod
     def from_pretrained(cls, model_dir, tiny: bool = False,
                         schedule: Optional[NoiseSchedule] = None,
-                        method: Optional[str] = None) -> "SDXLPipeline":
+                        method: Optional[str] = None,
+                        mesh=None) -> "SDXLPipeline":
         """``method=None`` auto-detects from the checkpoint's config.json —
         a flow-matching-trained checkpoint must not be sampled through the
         sigma-space ZTSNR sampler (and vice versa)."""
@@ -82,15 +87,15 @@ class SDXLPipeline:
             raise FileNotFoundError(
                 f"checkpoint at {model_dir} missing components: {missing}")
         return cls(model, load_tokenizers(Path(model_dir)), schedule,
-                   method=method)
+                   method=method, mesh=mesh)
 
     @classmethod
     def from_model(cls, model: SDXLModel,
                    tokenizers: Optional[TokenizerPair] = None,
                    schedule: Optional[NoiseSchedule] = None,
-                   method: str = "ddpm") -> "SDXLPipeline":
+                   method: str = "ddpm", mesh=None) -> "SDXLPipeline":
         return cls(model, tokenizers or TokenizerPair.fallback(), schedule,
-                   method=method)
+                   method=method, mesh=mesh)
 
     def __call__(self, prompts: Sequence[str], height: int = 1024,
                  width: int = 1024, num_inference_steps: int = 28,
@@ -101,7 +106,7 @@ class SDXLPipeline:
                                     self.schedule,
                                     num_inference_steps=num_inference_steps,
                                     guidance_scale=guidance_scale,
-                                    method=self.method)
+                                    method=self.method, mesh=self.mesh)
         return sampler.generate(self.model.params["unet"], list(prompts),
                                 jax.random.key(seed), height=height,
                                 width=width,

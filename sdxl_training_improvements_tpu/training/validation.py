@@ -44,7 +44,7 @@ class ValidationSampler:
 
     def __init__(self, model, tokenizers, schedule: S.NoiseSchedule,
                  num_inference_steps: int = 28, guidance_scale: float = 5.0,
-                 method: str = "ddpm"):
+                 method: str = "ddpm", mesh=None):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule
@@ -58,6 +58,22 @@ class ValidationSampler:
                 f"ValidationSampler supports methods 'ddpm' and "
                 f"'flow_matching', got {method!r}")
         self.method = method
+        # mesh-parallel serving: megatron-TP the UNet over the tensor axis
+        # (the training TP_RULES apply unchanged) and shard the CFG-stacked
+        # batch over data x fsdp; XLA inserts the collectives.  None =
+        # single-device sampling.
+        self.mesh = mesh
+
+    def _bshard(self, x):
+        """Constrain a [2n, ...] CFG-stacked tensor over the mesh's data
+        axes (no-op without a mesh or when the batch doesn't divide)."""
+        if self.mesh is None:
+            return x
+        from sdxl_training_improvements_tpu.parallel import mesh as M
+        dp = self.mesh.shape[M.DATA_AXIS] * self.mesh.shape[M.FSDP_AXIS]
+        if x.shape[0] % dp:
+            return x
+        return jax.lax.with_sharding_constraint(x, M.batch_sharding(self.mesh))
 
     def _denoiser(self, unet_params, prompt_embeds, pooled, time_ids):
         """model_fn(x, sigma) for the sampler: raw network F(c_in*x, t(sigma))
@@ -73,7 +89,7 @@ class ValidationSampler:
                 - jnp.log(jnp.maximum(sigma, 1e-8))))
             b = x.shape[0]
             t = jnp.full((2 * b,), t_idx, jnp.int32)
-            x2 = jnp.concatenate([x, x], axis=0)
+            x2 = self._bshard(jnp.concatenate([x, x], axis=0))
             pred = self.model.unet_apply(unet_params, x2, t, prompt_embeds,
                                          pooled, time_ids)
             uncond, cond = jnp.split(pred.astype(jnp.float32), 2, axis=0)
@@ -92,7 +108,7 @@ class ValidationSampler:
         def fn(x, t):
             b = x.shape[0]
             tvec = jnp.full((2 * b,), t, jnp.float32)
-            x2 = jnp.concatenate([x, x], axis=0)
+            x2 = self._bshard(jnp.concatenate([x, x], axis=0))
             v = self.model.unet_apply(unet_params, x2, tvec, prompt_embeds,
                                       pooled, time_ids)
             uncond, cond = jnp.split(v.astype(jnp.float32), 2, axis=0)
@@ -125,6 +141,17 @@ class ValidationSampler:
                                   enc["pooled_prompt_embeds"][:n]], axis=0)
         time_ids = jnp.tile(jnp.asarray(
             [[height, width, 0, 0, height, width]], jnp.float32), (2 * n, 1))
+
+        if self.mesh is not None:
+            from sdxl_training_improvements_tpu.parallel import mesh as M
+            # TP-split the UNet by the training rules (replicated over
+            # data/fsdp); conditioning rows ride the batch sharding when
+            # they divide, so the per-step collectives stay on the mesh
+            unet_params = jax.device_put(
+                unet_params, M.param_shardings(self.mesh, unet_params))
+            pe = self._bshard(pe)
+            pooled = self._bshard(pooled)
+            time_ids = self._bshard(time_ids)
 
         f = self.model.vae.config.downscale_factor
         lat_shape = (n, self.model.unet_config.in_channels,

@@ -34,8 +34,47 @@ if not TPU_SMOKE:
 
 # Persistent compilation cache: the tiny-model train steps cost 30-150s of
 # XLA CPU compile each; caching them makes repeat suite runs minutes faster.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+#
+# Guard: XLA:CPU AOT results embed the *compiling* machine's CPU features
+# and are loaded on a feature-mismatched host with only a warning — observed
+# to execute and return wrong numerics after this dev VM changed CPU types
+# (a LoRA step silently became a no-op).  Fingerprint the host in the cache
+# dir and wipe stale entries instead of trusting them.
+_CACHE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = sorted({ln.split(":", 1)[1].strip()
+                            for ln in f if ln.startswith("flags")})
+    except OSError:
+        import platform
+        flags = [platform.processor(), platform.machine()]
+    return hashlib.sha256("|".join(flags).encode()).hexdigest()[:16]
+
+
+def _validate_cache_host(cache_dir: str) -> None:
+    import shutil
+    fp_file = os.path.join(cache_dir, "HOST_FINGERPRINT")
+    fp = _host_fingerprint()
+    try:
+        with open(fp_file) as f:
+            if f.read().strip() == fp:
+                return
+        shutil.rmtree(cache_dir)
+    except FileNotFoundError:
+        if os.path.isdir(cache_dir) and os.listdir(cache_dir):
+            shutil.rmtree(cache_dir)  # pre-fingerprint cache: provenance unknown
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(fp_file, "w") as f:
+        f.write(fp)
+
+
+_validate_cache_host(_CACHE_DIR)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -137,6 +137,39 @@ def bench_fwd_bwd(cfg, batch, hw, steps, warmup, want_flops=False):
     return (sec, flops) if want_flops else sec
 
 
+def bench_serving(cfg, hw, batch, steps=10, warmup=3):
+    """CFG inference step (UNet forward only, bf16): seconds/step.
+
+    ``batch`` is the CFG-stacked row count (2 rows per image — the
+    [uncond; cond] stacking of ``ValidationSampler``).  The sampler's
+    per-step epilogue (guidance combine + Euler update) is a few
+    elementwise ops over latents, negligible next to the UNet call, so
+    this is the serving-throughput proxy: images/s = (batch/2) /
+    (num_inference_steps * t_step).  The reference serves through a
+    single-GPU diffusers pipeline (``sdxl.py:188-198``)."""
+    from sdxl_training_improvements_tpu.models.unet import SDXLUNet
+
+    model = SDXLUNet(config=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    sample = jnp.zeros((batch, cfg.in_channels, hw, hw), jnp.bfloat16)
+    t0 = jnp.zeros((batch,), jnp.int32)
+    ctx = jnp.zeros((batch, 77, cfg.cross_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((batch, cfg.pooled_embed_dim), jnp.bfloat16)
+    time_ids = jnp.zeros((batch, 6), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), sample, t0, ctx, pooled,
+                                 time_ids)
+
+    @jax.jit
+    def fwd(p, x, t):
+        return model.apply(p, x, t, ctx, pooled, time_ids)
+
+    x = jax.random.normal(jax.random.key(1), sample.shape,
+                          jnp.float32).astype(jnp.bfloat16)
+    t = jnp.full((batch,), 500, jnp.int32)
+    sec = time_fn(lambda: fwd(params, x, t), steps=steps, warmup=warmup)
+    del params
+    return sec
+
+
 def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
                                make_opt=None):
     """The real adamw_bf16 update over every param of the full model,
@@ -409,6 +442,24 @@ def main():
             row["tflop_per_step"] = round(m["flops"] / 1e12, 2)
         rows.append(row)
 
+    serving = {}
+    if on_tpu and os.environ.get("SDXL_BENCH_SERVING", "0") == "1":
+        # opt-in (like SOAP) so the driver's bench run can't stall on two
+        # fresh inference HLO compiles; tools/measure_r3.py serving primes
+        # the cache and records the same numbers
+        for sname, sbatch in (("latency_1img_cfg2", 2),
+                              ("throughput_4img_cfg8", 8)):
+            try:
+                t_s = bench_serving(
+                    mkcfg(remat=False, attn_impl="auto"), hw, sbatch,
+                    steps=6, warmup=2)
+                serving[sname] = {
+                    "unet_fwd_ms": round(t_s * 1e3, 1),
+                    "images_per_s_28step": round(
+                        (sbatch / 2) / (28 * t_s), 3)}
+            except Exception as e:
+                serving[sname] = {"error": repr(e)[:200]}
+
     extra_soap = {}
     if os.environ.get("SDXL_BENCH_SOAP", "0") == "1":
         log("SOAP phase (opt-in) ...")
@@ -450,6 +501,7 @@ def main():
             "resident chunks (elementwise, times sum exactly); full state "
             "exceeds a 16GB dev chip, target v5p"),
         "baseline_source": BASELINE_SOURCE,
+        **({"serving": serving} if serving else {}),
         **extra_soap,
     }
     print(json.dumps(result))

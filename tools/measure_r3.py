@@ -243,6 +243,34 @@ def phase_noise():
             record(f"noise_{name}_ms_per_2e28", f"FAILED: {e!r}")
 
 
+SERVING_CASES = {
+    # CFG-stacked rows: 2 = one image (latency case), 8 = four images
+    # (throughput case).  Forward-only, no remat, production auto
+    # attention dispatch.
+    "serving_b2_ms": dict(batch=2, steps=10, warmup=3),
+    "serving_b8_ms": dict(batch=8, steps=6, warmup=2),
+}
+
+
+def phase_serving():
+    """Inference (serving) step: UNet forward at CFG batch, bf16, @1024^2.
+    Also primes the compile cache for bench.py's serving section."""
+    from bench import bench_serving
+    from sdxl_training_improvements_tpu.models.unet import UNetConfig
+    cfg = UNetConfig.sdxl(remat=False, attn_impl="auto")
+    for name, kw in SERVING_CASES.items():
+        try:
+            log(f"serving {name} ...")
+            t = bench_serving(cfg, 128, **kw)
+            record(name, round(t * 1e3, 1))
+            imgs = kw["batch"] / 2
+            record(name.replace("_ms", "_images_per_s_28step"),
+                   round(imgs / (28 * t), 3))
+        except Exception as e:
+            traceback.print_exc()
+            record(name, f"FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+
 def phase_soap():
     """SOAP at SDXL scale: full-tree compile time + chunked step/refresh
     (verdict #7)."""
@@ -271,7 +299,7 @@ def main():
             continue
         {"opt": phase_opt, "b4": phase_b4, "b1": phase_b1,
          "extra": phase_extra, "noise": phase_noise,
-         "soap": phase_soap}[p]()
+         "soap": phase_soap, "serving": phase_serving}[p]()
     log("done")
 
 

@@ -346,9 +346,10 @@ def main():
     # The reference's default workload is batch 4 x grad-accum 4 @1024^2
     # (``config.yaml:26-33``) — effective batch 16.  Measured compositions
     # (outputs/measure_r3.json):
-    # * micro-batch 1 x accum 16 (tpu.micro_batch_size=1): identical
-    #   gradients over the same 16 samples, runs WITHOUT remat — 273.5
-    #   ms/sample, the production recipe for 16 GB-class chips (headline);
+    # * micro-batch 1 x accum 16 (tpu.micro_batch_size=1): sample-identical
+    #   gradients over the same 16 samples (equal up to fp32 summation
+    #   order), runs WITHOUT remat — 273.5 ms/sample, the production
+    #   recipe for 16 GB-class chips (headline);
     # * literal batch 4 x accum 4: needs remat (dots_small auto-fit
     #   policy) — 370 ms/sample;
     # each workload row names its micro-batch HLO and its accum count.

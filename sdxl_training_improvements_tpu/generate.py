@@ -54,7 +54,10 @@ def main(argv=None) -> int:
     mesh = None
     if args.mesh:
         from sdxl_training_improvements_tpu.parallel import mesh as M
-        shape = [int(s) for s in args.mesh.split(",")]
+        try:
+            shape = [int(s) for s in args.mesh.split(",")]
+        except ValueError:
+            shape = []
         if len(shape) != 3:
             raise SystemExit(f"--mesh wants 3 comma-separated sizes "
                              f"(data,fsdp,tensor), got {args.mesh!r}")

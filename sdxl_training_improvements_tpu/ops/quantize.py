@@ -12,17 +12,27 @@ Design: a **log-spaced code** (0, then N values log-uniform over
 ``_DECADES`` decades up to the leaf's absmax).  Unlike the linear int8
 codes common on GPU (whose error is relative to the *blockwise absmax*, so
 small elements in a block are crushed and fine-grained blocks are needed),
-a log code's quantization error is a constant ~3.7% *relative to each
+a log code's quantization error is a constant factor *relative to each
 element's own value* across all 8 decades — which is what Adam's moments
 need (``v`` spans many decades; the update consumes ``m / sqrt(v)``).  One
 scale per leaf therefore suffices; there is no block bookkeeping, and the
 dequantize is a 256-entry table gather that XLA fuses into the consuming
 elementwise op.
 
-Both directions are shape-preserving and jit-safe; the signed map spends
-one bit on sign (values symmetric around 0), the unsigned map (for the
-non-negative ``v``) uses all 255 non-zero codes for magnitude, halving the
-log step.
+Both directions are shape-preserving and jit-safe.  The unsigned map (for
+the non-negative ``v``) uses all 255 non-zero codes for magnitude: log
+step 8/254 decades, half-step error ~3.7% of the element's value.  The
+signed map (for ``m``) spends one bit on sign — 127/128 codes per side,
+log step 8/127 decades, half-step error ~7.5%.  ``m``'s sign and decade
+dominate ``m/sqrt(v)``; the quality study (tools/study_int8_moments.py)
+measures the combined effect against bf16 and fp32 moment arms.
+
+Non-finite elements (an ``inf`` from an fp32 ``v`` overflow, or a NaN)
+are **excluded from the absmax** and mapped to the top code of their sign
+(NaN to the top positive code), so — like the bf16-moment baseline —
+corruption stays confined to the offending element and dequantizes to a
+bounded ``±absmax`` instead of poisoning the whole leaf through the
+shared scale.
 """
 from __future__ import annotations
 
@@ -41,8 +51,10 @@ _DECADES = 8.0
 @lru_cache(maxsize=None)
 def _code_np(signed: bool) -> np.ndarray:
     if signed:
-        pos = np.logspace(-_DECADES, 0.0, 127)
-        code = np.concatenate([-pos[::-1], [0.0], pos, [1.0]])  # 256, sorted
+        # all 256 codes distinct: 127 negative + 0 + 128 positive
+        pos = np.logspace(-_DECADES, 0.0, 128)
+        neg = -np.logspace(-_DECADES, 0.0, 127)[::-1]
+        code = np.concatenate([neg, [0.0], pos])  # 256, sorted
     else:
         code = np.concatenate([[0.0], np.logspace(-_DECADES, 0.0, 255)])
     return np.sort(code).astype(np.float32)
@@ -56,13 +68,18 @@ def quantize_8bit(x: jnp.ndarray, signed: bool = True) -> Dict[str, jnp.ndarray]
     """Quantize to ``{"q": uint8 codes (x.shape), "s": fp32 scalar scale}``.
 
     Nearest-code rounding after absmax normalization; an all-zero input
-    gets scale 1 so dequantize returns exact zeros.
+    gets scale 1 so dequantize returns exact zeros.  Non-finite elements
+    do not contribute to the scale and round to the top code of their
+    sign (NaN to the top positive code) — see the module docstring.
     """
     code = _code(signed)
     x32 = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(x32))
+    finite = jnp.isfinite(x32)
+    absmax = jnp.max(jnp.abs(jnp.where(finite, x32, 0.0)))
     scale = jnp.where(absmax > 0, absmax, 1.0)
-    y = x32 / scale
+    # +-inf -> +-1 (top code of its sign); NaN -> +1 (top positive code)
+    y = jnp.where(finite, x32 / scale,
+                  jnp.where(x32 < 0, -1.0, 1.0))
     idx = jnp.clip(jnp.searchsorted(code, y), 1, code.shape[0] - 1)
     lo = code[idx - 1]
     hi = code[idx]

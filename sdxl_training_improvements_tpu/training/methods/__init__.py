@@ -78,11 +78,20 @@ def _apply_tag_weights(per_sample: jnp.ndarray, batch) -> jnp.ndarray:
     batch.  We keep each image's weight on that image: the semantics the
     tag weighter computed, and invariant under ``tpu.micro_batch_size``
     re-tiling (the weighted batch mean is the same sum regardless of how
-    the batch is split into micro-batches)."""
+    the batch is split into micro-batches).
+
+    A scalar (0-d) loss keeps the legacy contract — ``loss * tw.mean()``,
+    the reference's collapse — so method plugins written against the
+    pre-round-3 example (``loss = _apply_tag_weights(loss, batch)`` on an
+    already-reduced loss) still return a scalar instead of broadcasting
+    to ``(B,)`` and failing ``value_and_grad`` at trace time."""
     tw = batch.get("tag_weights")
     if tw is None:
         return per_sample
-    return per_sample * tw.astype(jnp.float32)
+    tw = tw.astype(jnp.float32)
+    if per_sample.ndim == 0:
+        return per_sample * tw.mean()
+    return per_sample * tw
 
 
 def sample_keys(batch) -> "jax.Array | None":

@@ -63,6 +63,22 @@ class ValidationSampler:
         # batch over data x fsdp; XLA inserts the collectives.  None =
         # single-device sampling.
         self.mesh = mesh
+        # (src_tree, placed_tree): the mesh placement of the last param
+        # tree seen, so a serving loop calling generate() repeatedly with
+        # the same (functionally immutable) tree pays the multi-GB
+        # device_put/re-layout once, not per request
+        self._placed = None
+
+    def _place_params(self, unet_params):
+        if self.mesh is None:
+            return unet_params
+        if self._placed is not None and self._placed[0] is unet_params:
+            return self._placed[1]
+        from sdxl_training_improvements_tpu.parallel import mesh as M
+        placed = jax.device_put(
+            unet_params, M.param_shardings(self.mesh, unet_params))
+        self._placed = (unet_params, placed)
+        return placed
 
     def _bshard(self, x):
         """Constrain a [2n, ...] CFG-stacked tensor over the mesh's data
@@ -143,12 +159,10 @@ class ValidationSampler:
             [[height, width, 0, 0, height, width]], jnp.float32), (2 * n, 1))
 
         if self.mesh is not None:
-            from sdxl_training_improvements_tpu.parallel import mesh as M
             # TP-split the UNet by the training rules (replicated over
             # data/fsdp); conditioning rows ride the batch sharding when
             # they divide, so the per-step collectives stay on the mesh
-            unet_params = jax.device_put(
-                unet_params, M.param_shardings(self.mesh, unet_params))
+            unet_params = self._place_params(unet_params)
             pe = self._bshard(pe)
             pooled = self._bshard(pooled)
             time_ids = self._bshard(time_ids)

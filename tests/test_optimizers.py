@@ -389,6 +389,30 @@ class TestInt8Moments:
         with pytest.raises(ValueError, match="moments"):
             adamw_bf16(moments="fp4")
 
+    def test_code_tables_all_distinct(self):
+        """Every one of the 256 codes is a distinct value on both maps
+        (a duplicated endpoint would silently waste a code slot)."""
+        from sdxl_training_improvements_tpu.ops.quantize import _code_np
+        for signed in (True, False):
+            c = _code_np(signed)
+            assert len(np.unique(c)) == 256, signed
+
+    def test_nonfinite_element_stays_confined(self):
+        """An inf/NaN element must not poison the shared per-leaf scale:
+        like bf16 moments, corruption stays on the offending element and
+        dequantizes bounded (reviewer finding, round 3)."""
+        from sdxl_training_improvements_tpu.ops.quantize import (
+            dequantize_8bit, quantize_8bit)
+        for bad in (float("inf"), float("-inf"), float("nan")):
+            x = jnp.array([bad, 1.0, -0.5, 1e-6], jnp.float32)
+            d = np.asarray(dequantize_8bit(quantize_8bit(x),
+                                           dtype=jnp.float32))
+            assert np.isfinite(d).all(), (bad, d)
+            # healthy elements keep their values (signed map half-step 7.5%)
+            assert abs(d[1] - 1.0) < 0.08 and abs(d[2] + 0.5) < 0.05
+            # the bad element is bounded by +-absmax of the finite elements
+            assert abs(d[0]) <= 1.0 + 1e-6
+
     def test_config_knob(self):
         cfg = Config()
         cfg.optimizer.optimizer_type = "adamw_bf16"

@@ -99,6 +99,21 @@ class TestMethods:
                         batch2, jax.random.key(2), sched, cfg.model)
         np.testing.assert_allclose(float(l2), 2 * float(l1), rtol=1e-5)
 
+    def test_tag_weights_legacy_scalar_contract(self):
+        """A method plugin written against the pre-round-3 example —
+        ``loss = _apply_tag_weights(loss, batch)`` on an already-reduced
+        scalar — must still get a scalar back (``loss * tw.mean()``, the
+        reference's collapse), not a (B,) broadcast that breaks
+        value_and_grad at trace time."""
+        from sdxl_training_improvements_tpu.training.methods import (
+            _apply_tag_weights)
+        batch = {"tag_weights": jnp.asarray([2.0, 4.0])}
+        out = _apply_tag_weights(jnp.float32(10.0), batch)
+        assert out.ndim == 0
+        np.testing.assert_allclose(float(out), 30.0, rtol=1e-6)
+        per = _apply_tag_weights(jnp.asarray([1.0, 1.0]), batch)
+        np.testing.assert_allclose(np.asarray(per), [2.0, 4.0])
+
     def test_finite_guard_on_nan_input(self, tiny_model):
         """NaN latents -> loss == 1000.0 fallback, not NaN
         (reference ``ddpm_trainer.py:379-384``)."""

@@ -171,3 +171,15 @@ def encode_dual(clip_l: CLIPTextModel, params_l, clip_g: CLIPTextModel,
         [out_l["hidden_states"][idx], out_g["hidden_states"][idx]], axis=-1)
     return {"prompt_embeds": prompt_embeds,
             "pooled_prompt_embeds": out_g["pooled_output"]}
+
+
+def encode_g(clip_g: CLIPTextModel, params_g, input_ids_g: jnp.ndarray,
+             clip_skip: int = 1):
+    """Single-encoder (CLIP-G) conditioning — the SDXL *refiner* contract:
+    prompt embeds are the penultimate hidden states of text_encoder_2 alone
+    [B,77,1280]; pooled is its projected EOS embedding.  (The refiner
+    checkpoint ships no text_encoder/ or tokenizer/ for CLIP-L.)"""
+    out_g = clip_g.apply(params_g, input_ids_g)
+    idx = -(1 + clip_skip)
+    return {"prompt_embeds": out_g["hidden_states"][idx],
+            "pooled_prompt_embeds": out_g["pooled_output"]}

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from sdxl_training_improvements_tpu.core.types import (
     DataType, ModelWeightDtypes, Policy)
 from sdxl_training_improvements_tpu.models.clip import (
-    CLIPTextConfig, CLIPTextModel, encode_dual)
+    CLIPTextConfig, CLIPTextModel, encode_dual, encode_g)
 from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
 from sdxl_training_improvements_tpu.models.vae import AutoencoderKL, VAEConfig
 
@@ -28,7 +28,9 @@ from sdxl_training_improvements_tpu.models.vae import AutoencoderKL, VAEConfig
 class SDXLModel:
     unet: SDXLUNet
     vae: AutoencoderKL
-    clip_l: CLIPTextModel
+    # clip_l is None for the refiner (single-encoder conditioning; the
+    # refiner checkpoint ships no text_encoder/)
+    clip_l: Optional[CLIPTextModel]
     clip_g: CLIPTextModel
     params: Dict[str, Any] = field(default_factory=dict)  # unet/vae/clip_l/clip_g
 
@@ -41,6 +43,8 @@ class SDXLModel:
                remat_policy: Optional[str] = None,
                attn_impl: Optional[str] = None,
                attn_chunk_mb: Optional[int] = None,
+               unet_config: Optional[UNetConfig] = None,
+               refiner: bool = False,
                init_rng: Optional[jax.Array] = None,
                init_components=("unet",), latent_size: int = 16) -> "SDXLModel":
         """Random-init bundle.  ``tiny`` builds the CPU-testable miniature;
@@ -51,7 +55,13 @@ class SDXLModel:
         source: ``param_dtype``/``compute_dtype`` flow into the UNet.  The
         ``remat`` / ``attn_impl`` toggles are the ``config.tpu.remat`` /
         ``tpu.attention_impl`` knobs (None keeps each config's default:
-        "auto" dispatch for full SDXL, plain "xla" for tiny)."""
+        "auto" dispatch for full SDXL, plain "xla" for tiny).
+
+        ``unet_config`` overrides the UNet topology — the path for
+        checkpoint-declared variants (inpainting 9-ch input, refiner
+        4-stage, via ``UNetConfig.from_diffusers_config``).  ``refiner``
+        switches to single-encoder conditioning: no CLIP-L, prompts
+        encoded by CLIP-G alone (``clip.encode_g``)."""
         if policy is not None:
             dtype = policy.compute_dtype
         if tiny:
@@ -61,6 +71,8 @@ class SDXLModel:
         else:
             ucfg, vcfg = UNetConfig.sdxl(), VAEConfig.sdxl()
             lcfg, gcfg = CLIPTextConfig.clip_l(), CLIPTextConfig.clip_g()
+        if unet_config is not None:
+            ucfg = unet_config
         overrides = {}
         if remat is not None:
             overrides["remat"] = remat
@@ -83,7 +95,8 @@ class SDXLModel:
         model = cls(
             unet=SDXLUNet(config=ucfg, dtype=dtype, param_dtype=param_dtype),
             vae=AutoencoderKL(vcfg),  # fp32 (reference vae.py:23)
-            clip_l=CLIPTextModel(lcfg, dtype=te_dt, param_dtype=te_dt),
+            clip_l=(None if refiner
+                    else CLIPTextModel(lcfg, dtype=te_dt, param_dtype=te_dt)),
             clip_g=CLIPTextModel(gcfg, dtype=te2_dt, param_dtype=te2_dt),
         )
         if init_rng is not None:
@@ -107,12 +120,12 @@ class SDXLModel:
                 jnp.zeros((b,)),
                 jnp.zeros((b, 77, ucfg.cross_attention_dim)),
                 jnp.zeros((b, ucfg.pooled_embed_dim)),
-                jnp.zeros((b, 6)))
+                jnp.zeros((b, ucfg.num_time_ids)))
         if "vae" in components:
             self.params["vae"] = self.vae.init(
                 keys[1], jnp.zeros((1, 3, 8 * latent_size, 8 * latent_size)),
                 keys[1])
-        if "clip_l" in components:
+        if "clip_l" in components and self.clip_l is not None:
             ids = jnp.zeros((1, 77), jnp.int32)
             self.params["clip_l"] = self.clip_l.init(keys[2], ids)
         if "clip_g" in components:
@@ -129,7 +142,12 @@ class SDXLModel:
                                pooled_prompt_embeds, time_ids)
 
     def encode_prompt(self, input_ids_l, input_ids_g, clip_skip: int = 1):
-        """Dual-CLIP encoding, reference contract (``clip.py:61-91``)."""
+        """Dual-CLIP encoding, reference contract (``clip.py:61-91``).
+        With no CLIP-L (refiner bundle) dispatches to single-encoder
+        CLIP-G conditioning; ``input_ids_l`` may then be None."""
+        if self.clip_l is None:
+            return encode_g(self.clip_g, self.params["clip_g"],
+                            input_ids_g, clip_skip=clip_skip)
         return encode_dual(self.clip_l, self.params["clip_l"],
                            self.clip_g, self.params["clip_g"],
                            input_ids_l, input_ids_g, clip_skip=clip_skip)

@@ -83,6 +83,17 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     # pooled text (1280) + 6 time-ids * 256 = 2816 for SDXL
     projection_class_embeddings_input_dim: int = 2816
+    # SDXL micro-conditioning ids: 6 for base/inpainting
+    # [orig_w, orig_h, crop_t, crop_l, tgt_w, tgt_h], 5 for the refiner
+    # [orig_w, orig_h, crop_t, crop_l, aesthetic_score]
+    num_time_ids: int = 6
+    # transformer depth of the mid block; None = transformer_layers_per_
+    # block[-1] (the SDXL-base coincidence).  Decoupled because a topology
+    # can end its down path with a plain (attention-free) stage while the
+    # mid block still carries cross-attention — diffusers always builds
+    # UNetMidBlock2DCrossAttn from transformer_layers_per_block[-1]
+    # regardless of the last down block's type.
+    mid_block_transformer_layers: Optional[int] = None
     norm_num_groups: int = 32
     remat: bool = True
     # "full": recompute everything in the block (min memory);
@@ -101,6 +112,131 @@ class UNetConfig:
 
     @classmethod
     def sdxl(cls, **kw) -> "UNetConfig":
+        return cls(**kw)
+
+    @classmethod
+    def sdxl_inpainting(cls, **kw) -> "UNetConfig":
+        """SDXL-base topology with the 9-channel inpainting input:
+        [noisy latents (4), mask (1), masked-image latents (4)] — the
+        layout of ``diffusers/stable-diffusion-xl-1.0-inpainting-0.1``.
+        Only ``conv_in`` differs from base."""
+        kw.setdefault("in_channels", 9)
+        return cls(**kw)
+
+    @classmethod
+    def sdxl_refiner(cls, **kw) -> "UNetConfig":
+        """SDXL-refiner-1.0 topology (best-known defaults; when loading a
+        checkpoint the authoritative source is its ``unet/config.json`` via
+        :meth:`from_diffusers_config`, which overrides all of this):
+        4 stages [384, 768, 1536, 1536], cross-attention (depth 4, dim
+        1280 = CLIP-G only) in the middle two stages and the mid block,
+        plain first/last stages, and 5 conditioning ids (aesthetic score
+        replaces target size)."""
+        defaults = dict(
+            block_out_channels=(384, 768, 1536, 1536),
+            transformer_layers_per_block=(0, 4, 4, 0),
+            mid_block_transformer_layers=4,
+            cross_attention_dim=1280,
+            # pooled CLIP-G 1280 + 5 ids * 256
+            projection_class_embeddings_input_dim=2560,
+            num_time_ids=5,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def from_diffusers_config(cls, cfg: dict, **overrides) -> "UNetConfig":
+        """Build from a diffusers ``unet/config.json`` dict — the
+        authoritative topology source when fine-tuning a checkpoint
+        (base / inpainting / refiner / any conditioned variant).
+
+        Field semantics follow diffusers ``UNet2DConditionModel``:
+
+        * ``down_block_types`` decides which stages carry cross-attention
+          ("DownBlock2D" = plain); ``transformer_layers_per_block`` (int or
+          per-stage list) gives the depth of the attending stages.
+        * The mid block is ``UNetMidBlock2DCrossAttn`` with depth
+          ``transformer_layers_per_block[-1]`` even when the last down
+          stage is plain.
+        * SDXL checkpoints store the per-stage head COUNT in
+          ``attention_head_dim`` (a historical diffusers quirk; the real
+          head dim is ``channels / heads``, constant 64 across the family).
+        * ``num_time_ids`` is derived from
+          ``projection_class_embeddings_input_dim`` = pooled_dim +
+          num_ids * addition_time_embed_dim (pooled CLIP-G = 1280).
+
+        Unsupported conditioning modes raise instead of silently building
+        the wrong network.
+        """
+        def req(key, want):
+            got = cfg.get(key, want)
+            if got != want and not (want is None and got is None):
+                raise ValueError(
+                    f"unsupported diffusers UNet config: {key}={got!r} "
+                    f"(supported: {want!r})")
+
+        req("addition_embed_type", "text_time")
+        req("class_embed_type", None)
+        req("encoder_hid_dim", None)
+        req("dual_cross_attention", False)
+        req("mid_block_type", "UNetMidBlock2DCrossAttn")
+        if isinstance(cfg.get("layers_per_block", 2), (list, tuple)):
+            raise ValueError("per-stage layers_per_block unsupported")
+
+        channels = tuple(cfg["block_out_channels"])
+        n = len(channels)
+        down_types = cfg.get("down_block_types",
+                             ("DownBlock2D",) + ("CrossAttnDownBlock2D",)
+                             * (n - 1))
+        if len(down_types) != n:
+            raise ValueError("down_block_types length != block_out_channels")
+        for t in down_types:
+            if t not in ("DownBlock2D", "CrossAttnDownBlock2D"):
+                raise ValueError(f"unsupported down block type {t!r}")
+        tfm = cfg.get("transformer_layers_per_block", 1)
+        tfm_list = list(tfm) if isinstance(tfm, (list, tuple)) else [tfm] * n
+        if len(tfm_list) != n:
+            raise ValueError(
+                "transformer_layers_per_block length != block_out_channels")
+        depths = tuple(
+            tfm_list[i] if down_types[i] == "CrossAttnDownBlock2D" else 0
+            for i in range(n))
+
+        head_dim = cfg.get("attention_head_dim", 64)
+        if isinstance(head_dim, (list, tuple)):
+            # per-stage head counts (SDXL convention): recover the constant
+            # true head dim
+            dims = {channels[i] // head_dim[i]
+                    for i in range(n) if depths[i] > 0}
+            if len(dims) != 1:
+                raise ValueError(
+                    f"non-constant head dim {sorted(dims)} from "
+                    f"attention_head_dim={head_dim}; unsupported")
+            head_dim = dims.pop()
+
+        add_dim = cfg.get("addition_time_embed_dim", 256)
+        proj = cfg["projection_class_embeddings_input_dim"]
+        pooled = 1280  # CLIP-G pooled width across the SDXL family
+        if (proj - pooled) % add_dim or proj <= pooled:
+            raise ValueError(
+                f"cannot derive num_time_ids from projection dim {proj} "
+                f"(pooled {pooled}, addition_time_embed_dim {add_dim})")
+
+        kw = dict(
+            in_channels=cfg.get("in_channels", 4),
+            out_channels=cfg.get("out_channels", 4),
+            block_out_channels=channels,
+            layers_per_block=cfg.get("layers_per_block", 2),
+            transformer_layers_per_block=depths,
+            mid_block_transformer_layers=tfm_list[-1],
+            attention_head_dim=head_dim,
+            cross_attention_dim=cfg.get("cross_attention_dim", 1280),
+            addition_time_embed_dim=add_dim,
+            projection_class_embeddings_input_dim=proj,
+            num_time_ids=(proj - pooled) // add_dim,
+            norm_num_groups=cfg.get("norm_num_groups", 32),
+        )
+        kw.update(overrides)
         return cls(**kw)
 
     @classmethod
@@ -128,7 +264,13 @@ class UNetConfig:
     @property
     def pooled_embed_dim(self) -> int:
         return (self.projection_class_embeddings_input_dim
-                - 6 * self.addition_time_embed_dim)
+                - self.num_time_ids * self.addition_time_embed_dim)
+
+    @property
+    def mid_depth(self) -> int:
+        if self.mid_block_transformer_layers is not None:
+            return self.mid_block_transformer_layers
+        return self.transformer_layers_per_block[-1]
 
 
 class SDXLUNet(nn.Module):
@@ -188,7 +330,9 @@ class SDXLUNet(nn.Module):
             ``flow_matching_trainer.py:392-405``).
           encoder_hidden_states: [B, 77, cross_attention_dim] text embeds.
           text_embeds: [B, pooled_dim] pooled CLIP-G embeds.
-          time_ids: [B, 6] SDXL size/crop conditioning.
+          time_ids: [B, num_time_ids] SDXL micro-conditioning (6 size/crop
+            ids for base/inpainting; 5 with aesthetic score for the
+            refiner).
         Returns:
           [B, C, H, W] prediction.
         """
@@ -252,7 +396,7 @@ class SDXLUNet(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        mid_depth = cfg.transformer_layers_per_block[-1]
+        mid_depth = cfg.mid_depth
         x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
                     num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
                     name="mid_block_resnets_0")(x, emb)

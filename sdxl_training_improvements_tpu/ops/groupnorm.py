@@ -47,16 +47,36 @@ def groupnorm_silu_reference(x, scale, bias, num_groups: int = 32,
     return (y * jax.nn.sigmoid(y)).astype(orig_dtype)
 
 
+def _group_matrix(c: int, g: int):
+    """[C, G] one-hot channel->group matrix (constant, folded by Mosaic).
+
+    Group reductions inside the kernels go through this matrix as [1,C]x[C,G]
+    matmuls instead of a [S, G, C/G] reshape: Mosaic's vector layouts cannot
+    shape-cast the lane dimension for arbitrary C/G (e.g. the UNet's
+    cg in {10, 20, 40}), while a matmul against a constant is always
+    supported (and lands on the MXU)."""
+    cg = c // g
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    return (ch // cg == gr).astype(jnp.float32)
+
+
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps):
     x = x_ref[0].astype(jnp.float32)  # [S, C]
     s, c = x.shape
     g = num_groups
-    cg = c // g
-    xg = x.reshape(s, g, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)          # [1, G, 1]
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = xn.reshape(s, c) * scale_ref[:].astype(jnp.float32) \
+    n = jnp.float32(s * (c // g))
+    m = _group_matrix(c, g)
+    s1 = jnp.sum(x, axis=0, keepdims=True)              # [1, C]
+    s2 = jnp.sum(jnp.square(x), axis=0, keepdims=True)
+    gs1 = jnp.dot(s1, m, preferred_element_type=jnp.float32)  # [1, G]
+    gs2 = jnp.dot(s2, m, preferred_element_type=jnp.float32)
+    mean_g = gs1 / n
+    var_g = jnp.maximum(gs2 / n - jnp.square(mean_g), 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)  # [1,C]
+    rstd_c = jnp.dot(rstd_g, m.T, preferred_element_type=jnp.float32)
+    y = (x - mean_c) * rstd_c * scale_ref[:].astype(jnp.float32) \
         + bias_ref[:].astype(jnp.float32)
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
@@ -83,9 +103,13 @@ def _gn_stats_kernel(x_ref, sums_ref, *, num_groups):
     """Partial per-group sums over one spatial chunk: out [1,1,2,G]."""
     x = x_ref[0].astype(jnp.float32)  # [Sc, C]
     sc, c = x.shape
-    xg = x.reshape(sc, num_groups, c // num_groups)
-    sums_ref[0, 0, 0] = jnp.sum(xg, axis=(0, 2))
-    sums_ref[0, 0, 1] = jnp.sum(jnp.square(xg), axis=(0, 2))
+    m = _group_matrix(c, num_groups)
+    s1 = jnp.sum(x, axis=0, keepdims=True)
+    s2 = jnp.sum(jnp.square(x), axis=0, keepdims=True)
+    sums_ref[0, 0, 0] = jnp.dot(s1, m,
+                                preferred_element_type=jnp.float32)[0]
+    sums_ref[0, 0, 1] = jnp.dot(s2, m,
+                                preferred_element_type=jnp.float32)[0]
 
 
 def _gn_apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, o_ref,
@@ -93,12 +117,12 @@ def _gn_apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, o_ref,
     """Normalize+affine+SiLU one spatial chunk given the image stats."""
     x = x_ref[0].astype(jnp.float32)  # [Sc, C]
     sc, c = x.shape
-    cg = c // num_groups
-    mean = mean_ref[0]  # [G]
-    rstd = rstd_ref[0]
-    xg = (x.reshape(sc, num_groups, cg) - mean[None, :, None]) \
-        * rstd[None, :, None]
-    y = xg.reshape(sc, c) * scale_ref[:].astype(jnp.float32) \
+    m = _group_matrix(c, num_groups)
+    mean_c = jnp.dot(mean_ref[:], m.T,
+                     preferred_element_type=jnp.float32)  # [1, C]
+    rstd_c = jnp.dot(rstd_ref[:], m.T,
+                     preferred_element_type=jnp.float32)
+    y = (x - mean_c) * rstd_c * scale_ref[:].astype(jnp.float32) \
         + bias_ref[:].astype(jnp.float32)
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 

@@ -233,7 +233,8 @@ def import_diffusers(model, model_dir, dtype=None) -> dict:
                 jax.random.key(0),
                 jnp.zeros((1, ucfg.in_channels, 16, 16)), jnp.zeros((1,)),
                 jnp.zeros((1, 77, ucfg.cross_attention_dim)),
-                jnp.zeros((1, ucfg.pooled_embed_dim)), jnp.zeros((1, 6))))
+                jnp.zeros((1, ucfg.pooled_embed_dim)),
+                jnp.zeros((1, ucfg.num_time_ids))))
         params["unet"] = W.load_unet_params(tmpl, model_dir / "unet",
                                             dtype=dtype)
     if (model_dir / "vae").exists():
@@ -242,7 +243,7 @@ def import_diffusers(model, model_dir, dtype=None) -> dict:
                                    jnp.zeros((1, 3, 64, 64)),
                                    jax.random.key(0)))
         params["vae"] = W.load_vae_params(tmpl, model_dir / "vae")
-    if (model_dir / "text_encoder").exists():
+    if (model_dir / "text_encoder").exists() and model.clip_l is not None:
         tmpl = jax.eval_shape(
             lambda: model.clip_l.init(jax.random.key(0),
                                       jnp.zeros((1, 77), jnp.int32)))

@@ -176,3 +176,89 @@ def test_bad_remat_policy_raises():
         m.init(jax.random.key(0), jnp.zeros((1, 4, 16, 16)),
                jnp.zeros((1,)), jnp.zeros((1, 77, cfg.cross_attention_dim)),
                jnp.zeros((1, cfg.pooled_embed_dim)), jnp.zeros((1, 6)))
+
+
+# --------------------------------------------------------------------------
+# UNetConfig.from_diffusers_config: checkpoint-declared topology
+# --------------------------------------------------------------------------
+
+def _sdxl_base_unet_json():
+    """The topology fields of SDXL-base's ``unet/config.json``."""
+    return {
+        "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [320, 640, 1280],
+        "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D"],
+        "layers_per_block": 2,
+        "transformer_layers_per_block": [1, 2, 10],
+        "attention_head_dim": [5, 10, 20],
+        "cross_attention_dim": 2048,
+        "addition_embed_type": "text_time",
+        "addition_time_embed_dim": 256,
+        "projection_class_embeddings_input_dim": 2816,
+        "norm_num_groups": 32,
+        "mid_block_type": "UNetMidBlock2DCrossAttn",
+    }
+
+
+def test_from_diffusers_config_base_matches_sdxl():
+    got = UNetConfig.from_diffusers_config(_sdxl_base_unet_json())
+    want = UNetConfig.sdxl()
+    for f in ("in_channels", "out_channels", "block_out_channels",
+              "layers_per_block", "transformer_layers_per_block",
+              "attention_head_dim", "cross_attention_dim",
+              "addition_time_embed_dim",
+              "projection_class_embeddings_input_dim", "num_time_ids",
+              "norm_num_groups"):
+        assert getattr(got, f) == getattr(want, f), f
+    assert got.mid_depth == want.mid_depth == 10
+    assert got.pooled_embed_dim == 1280
+
+
+def test_from_diffusers_config_inpainting():
+    cfg = dict(_sdxl_base_unet_json(), in_channels=9)
+    got = UNetConfig.from_diffusers_config(cfg)
+    assert got.in_channels == 9 and got.out_channels == 4
+    assert got.num_time_ids == 6
+
+
+def test_from_diffusers_config_refiner_shape():
+    cfg = {
+        "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [384, 768, 1536, 1536],
+        "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D", "DownBlock2D"],
+        "layers_per_block": 2,
+        "transformer_layers_per_block": 4,
+        "attention_head_dim": [6, 12, 24, 24],
+        "cross_attention_dim": 1280,
+        "addition_embed_type": "text_time",
+        "addition_time_embed_dim": 256,
+        "projection_class_embeddings_input_dim": 2560,
+    }
+    got = UNetConfig.from_diffusers_config(cfg)
+    assert got.transformer_layers_per_block == (0, 4, 4, 0)
+    assert got.mid_depth == 4
+    assert got.attention_head_dim == 64
+    assert got.num_time_ids == 5
+    assert got.pooled_embed_dim == 1280
+    assert got.cross_attention_dim == 1280
+
+
+def test_from_diffusers_config_overrides_and_errors():
+    base = _sdxl_base_unet_json()
+    got = UNetConfig.from_diffusers_config(base, remat=False,
+                                           attn_impl="xla")
+    assert got.remat is False and got.attn_impl == "xla"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="addition_embed_type"):
+        UNetConfig.from_diffusers_config(dict(base, addition_embed_type="text"))
+    with _pytest.raises(ValueError, match="down block type"):
+        UNetConfig.from_diffusers_config(
+            dict(base, down_block_types=["AttnDownBlock2D"] * 3))
+    with _pytest.raises(ValueError, match="non-constant head dim"):
+        UNetConfig.from_diffusers_config(
+            dict(base, attention_head_dim=[5, 10, 10]))
+    with _pytest.raises(ValueError, match="num_time_ids"):
+        UNetConfig.from_diffusers_config(
+            dict(base, projection_class_embeddings_input_dim=2817))

@@ -361,3 +361,66 @@ class TestForeignCheckpointImport:
             model.params["unet"], jnp.asarray(sample), jnp.asarray(t),
             jnp.asarray(ehs), jnp.asarray(pooled), jnp.asarray(tids)))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# Variant topologies: refiner-like (4-stage, 5 conditioning ids) and
+# inpainting-like (9-channel input) — the ``model_type`` surface the
+# reference declares (``src/models/base.py:17-30``) but never wires.
+# --------------------------------------------------------------------------
+
+def _tiny_refiner_cfg():
+    """4 stages, cross-attention only in the middle two + mid block, 5 time
+    ids — the SDXL-refiner shape grammar at test size."""
+    return UNetConfig(
+        block_out_channels=(16, 32, 64, 64), layers_per_block=1,
+        transformer_layers_per_block=(0, 1, 1, 0),
+        mid_block_transformer_layers=1,
+        attention_head_dim=8, cross_attention_dim=32,
+        addition_time_embed_dim=4,
+        projection_class_embeddings_input_dim=24 + 5 * 4, num_time_ids=5,
+        norm_num_groups=8, remat=False, attn_impl="xla")
+
+
+class TestVariantTopologyParity:
+    @pytest.mark.parametrize("which", ["refiner", "inpainting"])
+    def test_twin_activation_parity(self, which):
+        if which == "refiner":
+            cfg = _tiny_refiner_cfg()
+        else:
+            cfg = UNetConfig.tiny(in_channels=9)
+        torch.manual_seed(0)
+        twin = TorchTwinUNet(cfg).eval()
+        fl = SDXLUNet(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        tmpl = fl.init(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.in_channels, 16, 16)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, cfg.cross_attention_dim)),
+            jnp.zeros((1, cfg.pooled_embed_dim)),
+            jnp.zeros((1, cfg.num_time_ids)))
+        state = _np_state(twin)
+        missing, unused = W.check_bijective(tmpl, state)
+        assert missing == [] and unused == []
+        params = W.hf_to_flax_params(tmpl, state, strict=True)
+        rng = np.random.default_rng(1)
+        b = 2
+        s = rng.standard_normal((b, cfg.in_channels, 16, 16)).astype(np.float32)
+        t = np.array([3.0, 700.0], np.float32)
+        e = rng.standard_normal((b, 77, cfg.cross_attention_dim)).astype(np.float32)
+        p = rng.standard_normal((b, cfg.pooled_embed_dim)).astype(np.float32)
+        ti = (np.array([[512, 512, 0, 0, 6.0]] * b, np.float32)
+              if cfg.num_time_ids == 5
+              else np.array([[512, 512, 0, 0, 512, 512]] * b, np.float32))
+        with torch.no_grad():
+            ref = twin(*map(torch.from_numpy, (s, t, e, p, ti))).numpy()
+        out = np.asarray(fl.apply(params, s, t, e, p, ti))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_refiner_mid_depth_decoupled(self):
+        cfg = _tiny_refiner_cfg()
+        assert cfg.mid_depth == 1
+        assert cfg.pooled_embed_dim == 24
+        # default coupling preserved for SDXL-base
+        base = UNetConfig.sdxl()
+        assert base.mid_depth == base.transformer_layers_per_block[-1]
+        assert base.pooled_embed_dim == 1280

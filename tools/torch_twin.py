@@ -242,8 +242,10 @@ class _MidBlock(nn.Module):
         self.resnets = nn.ModuleList(
             [ResnetBlock2D(ch, ch, temb_ch, groups),
              ResnetBlock2D(ch, ch, temb_ch, groups)])
-        self.attentions = nn.ModuleList(
-            [Transformer2DModel(ch, ctx_dim, ch // head_dim, head_dim, depth)])
+        if depth > 0:
+            self.attentions = nn.ModuleList(
+                [Transformer2DModel(ch, ctx_dim, ch // head_dim, head_dim,
+                                    depth)])
 
 
 class TorchTwinUNet(nn.Module):
@@ -285,9 +287,7 @@ class TorchTwinUNet(nn.Module):
             prev = ch
 
         mid_ch = cfg.block_out_channels[-1]
-        self.mid_block = _MidBlock(mid_ch, ted,
-                                   cfg.transformer_layers_per_block[-1],
-                                   ctx, hd, g)
+        self.mid_block = _MidBlock(mid_ch, ted, cfg.mid_depth, ctx, hd, g)
 
         # ---- up path: in-channels = prev_out + popped skip
         self.up_blocks = nn.ModuleList()
@@ -335,7 +335,8 @@ class TorchTwinUNet(nn.Module):
                 skips.append(x)
 
         x = self.mid_block.resnets[0](x, emb)
-        x = self.mid_block.attentions[0](x, ctx)
+        if hasattr(self.mid_block, "attentions"):
+            x = self.mid_block.attentions[0](x, ctx)
         x = self.mid_block.resnets[1](x, emb)
 
         for blk in self.up_blocks:

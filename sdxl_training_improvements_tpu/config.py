@@ -44,6 +44,11 @@ class ModelConfig:
     # Reference reads config.model.rho but never defines it (defect ledger);
     # we define it with the reference function default (novelai_v3.py:164).
     rho: float = 7.0
+    # rebuild addition: constant aesthetic-score conditioning used when
+    # fine-tuning a 5-time-id (refiner) UNet — the cache's canonical 6-wide
+    # time_ids are adapted at batch time (data/pipeline.py::
+    # adapt_batch_time_ids); 6.0 is SDXL-refiner's "good image" score.
+    aesthetic_score: float = 6.0
 
 
 @dataclass

@@ -121,6 +121,37 @@ def batches_for_epoch(dataset, batch_size: int, epoch: int = 0, seed: int = 0,
             dropped, epoch)
 
 
+def adapt_batch_time_ids(batch: Dict[str, np.ndarray], num_time_ids: int,
+                         aesthetic_score: float = 6.0
+                         ) -> Dict[str, np.ndarray]:
+    """Map the cache's canonical 6-wide SDXL micro-conditioning rows
+    [orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w] to what the loaded UNet
+    topology consumes.  The only non-identity mapping in the SDXL family is
+    the refiner's 5-id row, where a constant aesthetic score replaces the
+    target size (``config.model.aesthetic_score``; 6.0 is the value
+    SDXL-refiner was conditioned on for "good" images).
+
+    Keeping the cache 6-wide and adapting at batch time means one
+    precomputed cache serves base and refiner fine-tunes alike."""
+    tids = batch.get("time_ids")
+    if tids is None or tids.shape[-1] == num_time_ids:
+        return batch
+    if tids.shape[-1] == 6 and num_time_ids == 5:
+        out = dict(batch)
+        score = np.full((tids.shape[0], 1), aesthetic_score, tids.dtype)
+        out["time_ids"] = np.concatenate([tids[:, :4], score], axis=1)
+        return out
+    raise ValueError(
+        f"cannot adapt time_ids width {tids.shape[-1]} to the UNet's "
+        f"num_time_ids={num_time_ids}")
+
+
+def adapt_time_ids_iter(batch_iter, num_time_ids: int,
+                        aesthetic_score: float = 6.0):
+    for batch in batch_iter:
+        yield adapt_batch_time_ids(batch, num_time_ids, aesthetic_score)
+
+
 def prefetch_to_device(batch_iter, mesh=None, prefetch: int = 2,
                        background: bool = True, local_rows: bool = False):
     """Double-buffered transfer: yields device-resident batches.

@@ -1,13 +1,23 @@
-"""Text-to-image CLI over ``SDXLPipeline``.
+"""Image-generation CLI over ``SDXLPipeline``.
 
 The reference only exposes inference programmatically
 (``create_pipeline``, ``src/models/sdxl.py:188-198``); this gives the
 trained checkpoint a direct command-line surface:
 
+    # text -> image
     python -m sdxl_training_improvements_tpu.generate \
         --model outputs/final_checkpoint \
         --prompt "a photograph of an astronaut riding a horse" \
         --steps 28 --guidance 5.0 --out samples/
+
+    # img2img (edit an existing image)
+    ... --init photo.png --strength 0.35
+
+    # inpainting (9-channel inpainting checkpoint)
+    ... --init photo.png --mask mask.png
+
+    # two-stage base -> refiner ensemble
+    ... --refiner /path/to/refiner_checkpoint --denoising-frac 0.8
 """
 from __future__ import annotations
 
@@ -42,7 +52,47 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve over a device mesh, e.g. 4,1,2: the UNet is "
                         "megatron-TP-split over the tensor axis and the "
                         "CFG batch sharded over data x fsdp")
+    p.add_argument("--init", action="append", default=None, metavar="IMAGE",
+                   help="img2img init image (repeat to match --prompt "
+                        "count; resized to --height x --width)")
+    p.add_argument("--strength", type=float, default=None,
+                   help="edit strength in (0, 1]; defaults to 0.35 for "
+                        "img2img, 1.0 (full repaint) for inpainting")
+    p.add_argument("--mask", action="append", default=None, metavar="IMAGE",
+                   help="inpainting mask (white = repaint); requires --init "
+                        "and a 9-channel inpainting checkpoint")
+    p.add_argument("--refiner", default=None, metavar="DIR",
+                   help="refiner checkpoint for the two-stage "
+                        "base->refiner ensemble")
+    p.add_argument("--denoising-frac", type=float, default=0.8,
+                   help="fraction of the sigma walk done by the base model "
+                        "before the refiner takes over")
+    p.add_argument("--aesthetic-score", type=float, default=6.0)
     return p
+
+
+def _load_images(paths, height, width):
+    import numpy as np
+    from PIL import Image
+    out = []
+    for path in paths:
+        img = Image.open(path).convert("RGB")
+        if img.size != (width, height):
+            img = img.resize((width, height), Image.LANCZOS)
+        out.append(np.asarray(img, dtype=np.uint8))
+    return out
+
+
+def _load_masks(paths, height, width):
+    import numpy as np
+    from PIL import Image
+    out = []
+    for path in paths:
+        img = Image.open(path).convert("L")
+        if img.size != (width, height):
+            img = img.resize((width, height), Image.NEAREST)
+        out.append((np.asarray(img) > 127).astype(np.uint8))
+    return out
 
 
 def main(argv=None) -> int:
@@ -62,13 +112,49 @@ def main(argv=None) -> int:
             raise SystemExit(f"--mesh wants 3 comma-separated sizes "
                              f"(data,fsdp,tensor), got {args.mesh!r}")
         mesh = M.create_mesh(shape)
+    if args.mask and not args.init:
+        raise SystemExit("--mask requires --init (the image to repaint)")
     pipe = SDXLPipeline.from_pretrained(args.model, tiny=args.tiny,
                                         method=method, mesh=mesh)
     print(f"sampler method: {pipe.method}")
-    images = pipe(args.prompt, height=args.height, width=args.width,
-                  num_inference_steps=args.steps,
-                  guidance_scale=args.guidance, seed=args.seed,
-                  negative_prompts=args.negative)
+    if args.mask:
+        inits = _load_images(args.init, args.height, args.width)
+        masks = _load_masks(args.mask, args.height, args.width)
+        images = pipe.inpaint(args.prompt, inits, masks,
+                              strength=(1.0 if args.strength is None
+                                        else args.strength),
+                              num_inference_steps=args.steps,
+                              guidance_scale=args.guidance, seed=args.seed,
+                              negative_prompts=args.negative)
+    elif args.init:
+        inits = _load_images(args.init, args.height, args.width)
+        images = pipe.img2img(args.prompt, images=inits,
+                              strength=(0.35 if args.strength is None
+                                        else args.strength),
+                              num_inference_steps=args.steps,
+                              guidance_scale=args.guidance, seed=args.seed,
+                              negative_prompts=args.negative,
+                              aesthetic_score=args.aesthetic_score)
+    elif args.refiner:
+        noisy = pipe(args.prompt, height=args.height, width=args.width,
+                     num_inference_steps=args.steps,
+                     guidance_scale=args.guidance, seed=args.seed,
+                     negative_prompts=args.negative,
+                     denoising_end=args.denoising_frac)
+        refiner = SDXLPipeline.from_pretrained(args.refiner, tiny=args.tiny,
+                                               mesh=mesh)
+        print(f"refining from denoising fraction {args.denoising_frac}")
+        images = refiner.refine(args.prompt, noisy,
+                                denoising_start=args.denoising_frac,
+                                num_inference_steps=args.steps,
+                                guidance_scale=args.guidance, seed=args.seed,
+                                negative_prompts=args.negative,
+                                aesthetic_score=args.aesthetic_score)
+    else:
+        images = pipe(args.prompt, height=args.height, width=args.width,
+                      num_inference_steps=args.steps,
+                      guidance_scale=args.guidance, seed=args.seed,
+                      negative_prompts=args.negative)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, img in enumerate(images):

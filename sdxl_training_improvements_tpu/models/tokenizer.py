@@ -78,8 +78,15 @@ class TokenizerPair:
         return cls(t, t)
 
 
-def load_tokenizers(model_dir, max_length: int = 77) -> TokenizerPair:
+def load_tokenizers(model_dir, max_length: int = 77,
+                    single_encoder: bool = False) -> TokenizerPair:
     """Load from a diffusers checkpoint dir.
+
+    ``single_encoder=True`` is the SDXL-refiner layout (CLIP-G only):
+    ``tokenizer_2/`` is the one real tokenizer and fills both slots of the
+    pair (the L slot's ids are computed but ignored by ``encode_g``);
+    ``tokenizer/`` must then be ABSENT — its presence signals the caller
+    mis-detected the checkpoint family.
 
     Fallback policy: the HashTokenizer stand-in is only acceptable when the
     checkpoint simply has no tokenizer directories (from-scratch runs).
@@ -91,6 +98,19 @@ def load_tokenizers(model_dir, max_length: int = 77) -> TokenizerPair:
     model_dir = Path(model_dir)
     dirs = [model_dir / "tokenizer", model_dir / "tokenizer_2"]
     exists = [d.exists() for d in dirs]
+    if single_encoder:
+        if exists[0]:
+            raise FileNotFoundError(
+                f"checkpoint at {model_dir} has tokenizer/ but was detected "
+                "as a single-encoder (refiner) checkpoint — layout mismatch")
+        if not exists[1]:
+            logging.getLogger(__name__).warning(
+                "no tokenizer_2/ under %s - using the hash tokenizer "
+                "stand-in (fine for random-init runs, WRONG for pretrained "
+                "CLIP weights)", model_dir)
+            return TokenizerPair.fallback(max_length=max_length)
+        tok_g = _load_one(dirs[1], max_length)
+        return TokenizerPair(tok_g, tok_g)
     if any(exists) and not all(exists):
         # partial/corrupt checkpoint: one tokenizer present, the other
         # missing.  Falling back to hashed ids for BOTH would train
@@ -108,12 +128,13 @@ def load_tokenizers(model_dir, max_length: int = 77) -> TokenizerPair:
             "tokenizer stand-in (fine for random-init runs, WRONG for "
             "pretrained CLIP weights)", model_dir)
         return TokenizerPair.fallback(max_length=max_length)
+    return TokenizerPair(*[_load_one(d, max_length) for d in dirs])
+
+
+def _load_one(d: Path, max_length: int) -> HFTokenizer:
     from transformers import CLIPTokenizer, CLIPTokenizerFast
-    toks = []
-    for d in dirs:
-        try:
-            tok = CLIPTokenizerFast.from_pretrained(str(d))
-        except Exception:
-            tok = CLIPTokenizer.from_pretrained(str(d))  # raises loudly
-        toks.append(HFTokenizer(tok, max_length))
-    return TokenizerPair(*toks)
+    try:
+        tok = CLIPTokenizerFast.from_pretrained(str(d))
+    except Exception:
+        tok = CLIPTokenizer.from_pretrained(str(d))  # raises loudly
+    return HFTokenizer(tok, max_length)

@@ -216,7 +216,9 @@ class UNetConfig:
 
         add_dim = cfg.get("addition_time_embed_dim", 256)
         proj = cfg["projection_class_embeddings_input_dim"]
-        pooled = 1280  # CLIP-G pooled width across the SDXL family
+        # CLIP-G pooled width across the SDXL family; our own exports carry
+        # the exact value as an extension key (tiny test topologies differ)
+        pooled = cfg.get("_pooled_embed_dim", 1280)
         if (proj - pooled) % add_dim or proj <= pooled:
             raise ValueError(
                 f"cannot derive num_time_ids from projection dim {proj} "
@@ -238,6 +240,59 @@ class UNetConfig:
         )
         kw.update(overrides)
         return cls(**kw)
+
+    def to_diffusers_config(self) -> dict:
+        """Inverse of :meth:`from_diffusers_config`: the diffusers
+        ``unet/config.json`` dict describing this topology, written by
+        ``export_diffusers`` so (a) diffusers can load our exports directly
+        and (b) our own loaders can rebuild variant topologies
+        (refiner/inpainting) from any checkpoint without out-of-band flags.
+
+        ``attention_head_dim`` is written per-stage as the HEAD COUNT of
+        attending stages (the SDXL-family convention diffusers expects);
+        ``_pooled_embed_dim`` is an extension key carrying the exact pooled
+        width (diffusers ignores underscore keys)."""
+        n = len(self.block_out_channels)
+        down_types = ["CrossAttnDownBlock2D" if d > 0 else "DownBlock2D"
+                      for d in self.transformer_layers_per_block]
+        # per-stage head counts; plain stages get a structurally-valid
+        # placeholder (their entry is never consulted)
+        head_counts = [max(1, c // self.attention_head_dim)
+                       for c in self.block_out_channels]
+        tfm = [d if d > 0 else self.mid_depth
+               for d in self.transformer_layers_per_block]
+        # the mid block reads transformer_layers_per_block[-1]; keep that
+        # slot authoritative for the mid depth (diffusers semantics)
+        last = self.transformer_layers_per_block[-1]
+        if last > 0 and last != self.mid_depth:
+            raise ValueError(
+                "diffusers cannot represent an attending last down stage "
+                f"(depth {last}) with a different mid-block depth "
+                f"({self.mid_depth}) — both read "
+                "transformer_layers_per_block[-1]")
+        tfm[-1] = self.mid_depth
+        return {
+            "_class_name": "UNet2DConditionModel",
+            "in_channels": self.in_channels,
+            "out_channels": self.out_channels,
+            "block_out_channels": list(self.block_out_channels),
+            "down_block_types": down_types,
+            "up_block_types": ["UpBlock2D" if d == 0 else "CrossAttnUpBlock2D"
+                               for d in reversed(
+                                   self.transformer_layers_per_block)],
+            "layers_per_block": self.layers_per_block,
+            "transformer_layers_per_block": tfm,
+            "attention_head_dim": head_counts,
+            "cross_attention_dim": self.cross_attention_dim,
+            "addition_embed_type": "text_time",
+            "addition_time_embed_dim": self.addition_time_embed_dim,
+            "projection_class_embeddings_input_dim":
+                self.projection_class_embeddings_input_dim,
+            "norm_num_groups": self.norm_num_groups,
+            "mid_block_type": "UNetMidBlock2DCrossAttn",
+            "sample_size": 128,
+            "_pooled_embed_dim": self.pooled_embed_dim,
+        }
 
     @classmethod
     def tiny(cls, **kw) -> "UNetConfig":

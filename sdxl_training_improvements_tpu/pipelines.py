@@ -59,6 +59,61 @@ class SDXLPipeline:
         checkpoints."""
         return cls.declared_method(model_dir) or "ddpm"
 
+    @staticmethod
+    def declared_schedule(model_dir) -> Optional[NoiseSchedule]:
+        """NoiseSchedule matching the checkpoint's exported framework config
+        (``model.*`` sigma range / ZTSNR / rho + ``training.prediction_type``
+        — the same fields ``NoiseSchedule.from_config`` reads at training
+        time), or None for a plain diffusers export with no config.json.
+
+        Without this an epsilon-trained checkpoint (BASELINE config #1)
+        would silently sample through the default v-prediction/ZTSNR
+        composition — the wrong inverse of its training forward process."""
+        import json
+        cfg_path = Path(model_dir) / "config.json"
+        try:
+            raw = json.loads(cfg_path.read_text())
+        except (OSError, ValueError):
+            return None
+        m = raw.get("model") or {}
+        t = raw.get("training") or {}
+        if not isinstance(m, dict) or not isinstance(t, dict) or not m:
+            return None
+        try:
+            kwargs = {}
+            for field_name, cast in (("num_timesteps", int),
+                                     ("sigma_min", float),
+                                     ("sigma_max", float),
+                                     ("rho", float),
+                                     ("use_ztsnr", bool)):
+                if m.get(field_name) is not None:
+                    kwargs[field_name] = cast(m[field_name])
+            if "min_snr_gamma" in m:  # None is a valid (off) setting
+                g = m["min_snr_gamma"]
+                kwargs["min_snr_gamma"] = (None if g in (None, "None")
+                                           else float(g))
+            if t.get("prediction_type"):
+                kwargs["prediction_type"] = str(t["prediction_type"])
+            return NoiseSchedule.create(**kwargs)
+        except (TypeError, ValueError):
+            return None
+
+    @staticmethod
+    def declared_unet_config(model_dir):
+        """``UNetConfig`` from the checkpoint's ``unet/config.json`` (the
+        diffusers topology declaration, written by ``export_diffusers`` and
+        by diffusers itself), or None when absent — the path that makes
+        refiner / inpainting / any conditioned-variant checkpoints load
+        without out-of-band flags."""
+        import json
+        from sdxl_training_improvements_tpu.models.unet import UNetConfig
+        cfg_path = Path(model_dir) / "unet" / "config.json"
+        try:
+            raw = json.loads(cfg_path.read_text())
+        except (OSError, ValueError):
+            return None
+        return UNetConfig.from_diffusers_config(raw)
+
     @classmethod
     def from_pretrained(cls, model_dir, tiny: bool = False,
                         schedule: Optional[NoiseSchedule] = None,
@@ -66,7 +121,11 @@ class SDXLPipeline:
                         mesh=None) -> "SDXLPipeline":
         """``method=None`` auto-detects from the checkpoint's config.json —
         a flow-matching-trained checkpoint must not be sampled through the
-        sigma-space ZTSNR sampler (and vice versa)."""
+        sigma-space ZTSNR sampler (and vice versa).  The UNet topology and
+        encoder family follow ``unet/config.json`` / the text-encoder
+        directory layout, so base, inpainting (9-channel), and refiner
+        (single-encoder, 5 time-ids) checkpoints all load through this one
+        entry point."""
         from sdxl_training_improvements_tpu.training.checkpoints import (
             import_diffusers)
         declared = cls.declared_method(model_dir)
@@ -80,14 +139,31 @@ class SDXLPipeline:
                 "Use --method auto (or omit method) to follow the "
                 "checkpoint.")
         method = method or declared or "ddpm"
-        model = SDXLModel.create(tiny=tiny)
+        # inference schedule follows the checkpoint's training schedule
+        # (prediction_type / sigma range / ZTSNR) unless the caller pins one
+        schedule = schedule or cls.declared_schedule(model_dir)
+        ucfg = cls.declared_unet_config(model_dir)
+        # single-encoder (refiner) detection: the 5-id aesthetic-score
+        # conditioning, or the text_encoder_2-only directory layout
+        refiner = (ucfg is not None and ucfg.num_time_ids == 5) or (
+            (Path(model_dir) / "text_encoder_2").exists()
+            and not (Path(model_dir) / "text_encoder").exists())
+        if ucfg is not None and tiny:
+            # runtime knobs are not topology: keep the tiny test defaults
+            import dataclasses
+            ucfg = dataclasses.replace(ucfg, remat=False, attn_impl="xla")
+        model = SDXLModel.create(tiny=tiny, unet_config=ucfg,
+                                 refiner=refiner)
         model.params = import_diffusers(model, model_dir)
-        missing = {"unet", "vae", "clip_l", "clip_g"} - set(model.params)
+        required = {"unet", "vae", "clip_g"} | (
+            set() if refiner else {"clip_l"})
+        missing = required - set(model.params)
         if missing:
             raise FileNotFoundError(
                 f"checkpoint at {model_dir} missing components: {missing}")
-        return cls(model, load_tokenizers(Path(model_dir)), schedule,
-                   method=method, mesh=mesh)
+        return cls(model,
+                   load_tokenizers(Path(model_dir), single_encoder=refiner),
+                   schedule, method=method, mesh=mesh)
 
     @classmethod
     def from_model(cls, model: SDXLModel,
@@ -97,17 +173,178 @@ class SDXLPipeline:
         return cls(model, tokenizers or TokenizerPair.fallback(), schedule,
                    method=method, mesh=mesh)
 
+    # ----------------------------------------------------------- internals
+    def _sampler(self, num_inference_steps: int,
+                 guidance_scale: float) -> ValidationSampler:
+        return ValidationSampler(self.model, self.tokenizers,
+                                 self.schedule,
+                                 num_inference_steps=num_inference_steps,
+                                 guidance_scale=guidance_scale,
+                                 method=self.method, mesh=self.mesh)
+
+    def _encode_pixels(self, images: Sequence[np.ndarray], height: int,
+                       width: int, key) -> "jax.Array":
+        """HWC images (uint8 [0,255] or float [-1,1]) -> sampled, scaled
+        VAE latents [n, C, height/f, width/f]."""
+        import jax.numpy as jnp
+        arrs = []
+        for i, img in enumerate(images):
+            a = np.asarray(img)
+            if a.ndim != 3 or a.shape[2] != 3:
+                raise ValueError(f"image {i}: expected HWC RGB, got shape "
+                                 f"{a.shape}")
+            if a.shape[0] != height or a.shape[1] != width:
+                raise ValueError(
+                    f"image {i}: {a.shape[:2]} != ({height}, {width}) — "
+                    "resize before calling")
+            if np.issubdtype(a.dtype, np.integer):
+                a = a.astype(np.float32) / 127.5 - 1.0
+            else:
+                a = a.astype(np.float32)  # already [-1, 1]
+            arrs.append(a.transpose(2, 0, 1))
+        return self.model.encode_images(jnp.asarray(np.stack(arrs)), key)
+
+    # ------------------------------------------------------------ text2img
     def __call__(self, prompts: Sequence[str], height: int = 1024,
                  width: int = 1024, num_inference_steps: int = 28,
                  guidance_scale: float = 5.0, seed: int = 0,
-                 negative_prompts: Optional[Sequence[str]] = None
-                 ) -> List[np.ndarray]:
-        sampler = ValidationSampler(self.model, self.tokenizers,
-                                    self.schedule,
-                                    num_inference_steps=num_inference_steps,
-                                    guidance_scale=guidance_scale,
-                                    method=self.method, mesh=self.mesh)
+                 negative_prompts: Optional[Sequence[str]] = None,
+                 denoising_end: Optional[float] = None,
+                 return_latents: bool = False) -> List[np.ndarray]:
+        """Text -> image.  ``denoising_end`` + ``return_latents=True`` is
+        the base stage of the SDXL base->refiner ensemble: stop at that
+        fraction of the sigma walk and hand the still-noisy latents to
+        ``refine`` on a refiner pipeline."""
+        sampler = self._sampler(num_inference_steps, guidance_scale)
         return sampler.generate(self.model.params["unet"], list(prompts),
                                 jax.random.key(seed), height=height,
                                 width=width,
-                                negative_prompts=negative_prompts)
+                                negative_prompts=negative_prompts,
+                                denoising_end=denoising_end,
+                                return_latents=return_latents
+                                or denoising_end is not None)
+
+    # ------------------------------------------------------------- img2img
+    def img2img(self, prompts: Sequence[str],
+                images: Optional[Sequence[np.ndarray]] = None,
+                latents=None, strength: float = 0.3,
+                num_inference_steps: int = 28, guidance_scale: float = 5.0,
+                seed: int = 0,
+                negative_prompts: Optional[Sequence[str]] = None,
+                aesthetic_score: float = 6.0,
+                negative_aesthetic_score: float = 2.5,
+                return_latents: bool = False) -> List[np.ndarray]:
+        """Image -> image: noise the init to ``strength`` of the schedule
+        and denoise back down.  Pass HWC ``images`` (uint8 or [-1,1] float)
+        or pre-encoded ``latents`` [n, C, h/f, w/f].  On a refiner pipeline
+        this IS the standard refinement pass (aesthetic-score conditioning
+        is applied automatically for 5-time-id UNets)."""
+        if (images is None) == (latents is None):
+            raise ValueError("img2img wants exactly one of images/latents")
+        f = self.model.vae.config.downscale_factor
+        key = jax.random.key(seed)
+        if latents is None:
+            h, w = np.asarray(images[0]).shape[:2]
+            import jax.random as jr
+            key, ekey = jr.split(key)
+            latents = self._encode_pixels(images, h, w, ekey)
+        else:
+            h, w = latents.shape[2] * f, latents.shape[3] * f
+        if len(prompts) != latents.shape[0]:
+            raise ValueError(f"{len(prompts)} prompts for "
+                             f"{latents.shape[0]} images")
+        sampler = self._sampler(num_inference_steps, guidance_scale)
+        return sampler.generate(self.model.params["unet"], list(prompts),
+                                key, height=h, width=w,
+                                negative_prompts=negative_prompts,
+                                init_latents=latents, strength=strength,
+                                aesthetic_score=aesthetic_score,
+                                negative_aesthetic_score=
+                                negative_aesthetic_score,
+                                return_latents=return_latents)
+
+    # ---------------------------------------------------------- refinement
+    def refine(self, prompts: Sequence[str], noisy_latents,
+               denoising_start: float = 0.8,
+               num_inference_steps: int = 28, guidance_scale: float = 5.0,
+               seed: int = 0,
+               negative_prompts: Optional[Sequence[str]] = None,
+               aesthetic_score: float = 6.0,
+               negative_aesthetic_score: float = 2.5) -> List[np.ndarray]:
+        """Second stage of the ensemble-of-expert-denoisers handoff: take
+        the NOISY latents a base pipeline produced with
+        ``denoising_end=denoising_start`` and walk the remaining sigma ramp.
+        Both stages must use the same ``num_inference_steps`` (the sigma
+        grid must line up)."""
+        f = self.model.vae.config.downscale_factor
+        h, w = noisy_latents.shape[2] * f, noisy_latents.shape[3] * f
+        sampler = self._sampler(num_inference_steps, guidance_scale)
+        return sampler.generate(self.model.params["unet"], list(prompts),
+                                jax.random.key(seed), height=h, width=w,
+                                negative_prompts=negative_prompts,
+                                init_latents=noisy_latents,
+                                denoising_start=denoising_start,
+                                aesthetic_score=aesthetic_score,
+                                negative_aesthetic_score=
+                                negative_aesthetic_score)
+
+    # ------------------------------------------------------------- inpaint
+    def inpaint(self, prompts: Sequence[str],
+                images: Sequence[np.ndarray],
+                masks: Sequence[np.ndarray], strength: float = 1.0,
+                num_inference_steps: int = 28, guidance_scale: float = 5.0,
+                seed: int = 0,
+                negative_prompts: Optional[Sequence[str]] = None
+                ) -> List[np.ndarray]:
+        """Masked image editing through a 9-channel inpainting UNet
+        (``UNetConfig.sdxl_inpainting`` — the
+        stable-diffusion-xl-1.0-inpainting-0.1 layout: per-step input is
+        [noisy latents (4) | mask (1) | masked-image latents (4)]).
+
+        ``masks``: HxW arrays, nonzero = repaint region.  ``strength < 1``
+        additionally seeds the walk from the noised ORIGINAL image latents
+        (softer edits); strength 1 repaints from pure noise under the mask
+        conditioning."""
+        import jax.numpy as jnp
+        ucfg = self.model.unet_config
+        lat_c = self.model.vae.config.latent_channels
+        if ucfg.in_channels != 2 * lat_c + 1:
+            raise ValueError(
+                f"inpaint needs an inpainting UNet (in_channels="
+                f"{2 * lat_c + 1}); this checkpoint has "
+                f"{ucfg.in_channels}")
+        if not (len(prompts) == len(images) == len(masks)):
+            raise ValueError("prompts/images/masks length mismatch")
+        f = self.model.vae.config.downscale_factor
+        h, w = np.asarray(images[0]).shape[:2]
+        key = jax.random.key(seed)
+        import jax.random as jr
+        key, k_img, k_masked = jr.split(key, 3)
+
+        bin_masks, masked_imgs = [], []
+        for img, mask in zip(images, masks):
+            a = np.asarray(img)
+            m = (np.asarray(mask) != 0).astype(np.float32)
+            if m.shape != (h, w):
+                raise ValueError(f"mask shape {m.shape} != image ({h}, {w})")
+            if np.issubdtype(a.dtype, np.integer):
+                a = a.astype(np.float32) / 127.5 - 1.0
+            masked_imgs.append(a * (1.0 - m)[..., None])
+            bin_masks.append(m)
+        masked_latents = self._encode_pixels(masked_imgs, h, w, k_masked)
+        # nearest-neighbour mask downsample to the latent grid (the
+        # diffusers interpolate(mode="nearest") convention)
+        m = np.stack(bin_masks)[:, f // 2::f, f // 2::f]
+        mask_lat = jnp.asarray(m[:, None, :, :], jnp.float32)
+        extra = jnp.concatenate(
+            [mask_lat, jnp.asarray(masked_latents, jnp.float32)], axis=1)
+
+        init_latents = None
+        if strength < 1.0:
+            init_latents = self._encode_pixels(list(images), h, w, k_img)
+        sampler = self._sampler(num_inference_steps, guidance_scale)
+        return sampler.generate(self.model.params["unet"], list(prompts),
+                                key, height=h, width=w,
+                                negative_prompts=negative_prompts,
+                                init_latents=init_latents,
+                                strength=strength, extra_channels=extra)

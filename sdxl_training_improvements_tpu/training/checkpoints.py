@@ -91,10 +91,16 @@ def _tree_to_host(tree):
 
 # ------------------------------------------------------- diffusers interchange
 def export_diffusers(ckpt_dir, model_params: dict, config=None,
-                     scheduler_config: Optional[dict] = None) -> None:
+                     scheduler_config: Optional[dict] = None,
+                     unet_config=None) -> None:
     """Write diffusers-layout safetensors for every component present in
     ``model_params`` ({unet, vae, clip_l, clip_g}) — reference
     ``save_pretrained`` (``sdxl.py:246-288``).
+
+    ``unet_config`` (a ``UNetConfig``) additionally writes
+    ``unet/config.json`` (``UNetConfig.to_diffusers_config``) so diffusers
+    can load the export directly and our own loaders rebuild variant
+    topologies (refiner / inpainting) from the checkpoint alone.
 
     Collective-safe: on multi-host runs CALL THIS ON EVERY PROCESS — the
     shard gather below is a collective; only rank 0 writes files."""
@@ -106,6 +112,9 @@ def export_diffusers(ckpt_dir, model_params: dict, config=None,
     if "unet" in model_params:
         W.save_unet(model_params["unet"],
                     ckpt_dir / "unet" / "diffusion_pytorch_model.safetensors")
+        if unet_config is not None:
+            (ckpt_dir / "unet" / "config.json").write_text(
+                json.dumps(unet_config.to_diffusers_config(), indent=2))
     if "vae" in model_params:
         W.save_vae(model_params["vae"],
                    ckpt_dir / "vae" / "diffusion_pytorch_model.safetensors")

@@ -170,12 +170,39 @@ class SDXLTrainer:
         # config.tpu.{remat,attention_impl} thread into UNetConfig here.
         policy = Policy.from_mixed_precision(
             self.config.training.mixed_precision)
+        local = Path(name)
+        # checkpoint-declared topology (refiner / inpainting / any
+        # conditioned variant): unet/config.json is authoritative when
+        # present; the runtime knobs below still override via create()
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ucfg = (SDXLPipeline.declared_unet_config(local)
+                if local.exists() else None)
+        refiner = ucfg is not None and ucfg.num_time_ids == 5
+        if ucfg is not None:
+            self.logger.info(
+                f"UNet topology from {local}/unet/config.json: "
+                f"in_channels={ucfg.in_channels}, stages="
+                f"{ucfg.block_out_channels}, time_ids={ucfg.num_time_ids}"
+                + (" (refiner: single-encoder conditioning)" if refiner
+                   else ""))
         model = SDXLModel.create(tiny=tiny, policy=policy,
+                                 unet_config=ucfg, refiner=refiner,
                                  remat=self.config.tpu.remat,
                                  remat_policy=self.config.tpu.remat_policy,
                                  attn_impl=self.config.tpu.attention_impl,
                                  attn_chunk_mb=self.config.tpu.attn_chunk_mb)
-        local = Path(name)
+        if model.unet_config.in_channels != model.vae.config.latent_channels:
+            # the training data pipeline produces plain VAE latents; the
+            # extra inpainting channels (mask + masked latents) have no
+            # training-data source here yet.  Refuse loudly instead of
+            # failing deep inside the first jitted step.
+            raise ValueError(
+                f"checkpoint declares in_channels="
+                f"{model.unet_config.in_channels} (an inpainting-style "
+                "UNet) but fine-tuning provides "
+                f"{model.vae.config.latent_channels}-channel latents only. "
+                "Inpainting checkpoints are supported for inference "
+                "(SDXLPipeline.inpaint), not yet for training.")
         if local.exists():
             self.logger.info(f"Loading pretrained SDXL from {local}")
             model.params = C.import_diffusers(model, local,
@@ -191,9 +218,11 @@ class SDXLTrainer:
 
     def _load_tokenizers(self) -> TokenizerPair:
         local = Path(self.config.model.pretrained_model_name)
+        single = self.model.clip_l is None  # refiner: CLIP-G only
         if local.exists():
             return load_tokenizers(local,
-                                   self.config.data.tokenizer_max_length)
+                                   self.config.data.tokenizer_max_length,
+                                   single_encoder=single)
         return TokenizerPair.fallback(
             max_length=self.config.data.tokenizer_max_length)
 
@@ -210,8 +239,9 @@ class SDXLTrainer:
                          label: str = "train") -> None:
         """Run latent/embedding precompute on ``ds`` through the jitted
         encoders (no-op without a cache or the encoder weights)."""
-        if ds.cache is None or not {"vae", "clip_l", "clip_g"} <= set(
-                self.model.params):
+        needed = {"vae", "clip_g"} | (
+            set() if self.model.clip_l is None else {"clip_l"})
+        if ds.cache is None or not needed <= set(self.model.params):
             return
         encode_images = jax.jit(
             lambda px, key: self.model.vae.apply(
@@ -325,6 +355,13 @@ class SDXLTrainer:
                     ds, sampler_batch, epoch=epoch, seed=cfg.seed,
                     num_shards=1, shard=0, strict=(nproc > 1),
                     proportion_empty_prompts=cfg.proportion_empty_prompts)
+                if self.model.unet_config.num_time_ids != 6:
+                    # refiner fine-tune: 5-id aesthetic-score conditioning
+                    from sdxl_training_improvements_tpu.data.pipeline import (
+                        adapt_time_ids_iter)
+                    batch_iter = adapt_time_ids_iter(
+                        batch_iter, self.model.unet_config.num_time_ids,
+                        self.config.model.aesthetic_score)
                 for batch in prefetch_to_device(batch_iter, self.mesh,
                                                 local_rows=partitioned):
                     if max_steps and step_count >= max_steps:
@@ -416,7 +453,8 @@ class SDXLTrainer:
             vloss = validation_loss(
                 self._apply_fn, self.state.params, val_ds, self.schedule,
                 self.config,
-                key=jax.random.key(self.config.training.seed + 17))
+                key=jax.random.key(self.config.training.seed + 17),
+                num_time_ids=self.model.unet_config.num_time_ids)
         except Exception as e:  # never kill training over validation
             self.logger.warning(f"validation loss failed: {e}")
             vloss = None
@@ -515,6 +553,7 @@ class SDXLTrainer:
         else:
             params["unet"] = self.eval_params()
         C.export_diffusers(path, params, config=self.config,
+                           unet_config=self.model.unet_config,
                            scheduler_config={
                                "prediction_type":
                                    self.config.training.prediction_type,

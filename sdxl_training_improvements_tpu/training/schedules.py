@@ -237,26 +237,109 @@ def get_add_time_ids(original_sizes, crop_top_lefts, target_sizes,
 # --------------------------------------------------------------------------
 
 def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
-                 schedule: NoiseSchedule, num_steps: int = 28) -> jnp.ndarray:
-    """Karras-Euler sampler with the ZTSNR first step.
+                 schedule: NoiseSchedule, num_steps: int = 28,
+                 init: Optional[jnp.ndarray] = None,
+                 strength: float = 1.0,
+                 denoising_start: Optional[float] = None,
+                 denoising_end: Optional[float] = None) -> jnp.ndarray:
+    """Karras-Euler sampler, dispatched on the schedule's prediction type.
 
-    Reference semantics (``novelai_v3.py:72-99``): the first step treats the
-    starting sigma as infinite — ``x = sigmas[0]*n - sigma_data*model(n,
-    inf)`` (``ztsnr_first_step`` with ``sigmas[0]``) — then Euler steps walk
-    EVERY adjacent sigma pair ``(sigmas[i-1], sigmas[i])``, so the sampler
-    makes exactly ``num_steps`` model calls and the sigma_max level is
-    visited by the Euler loop too.  ``model_fn(x, sigma)`` is the denoiser
-    in sigma space (a closure binding params + conditioning); the ramp uses
-    the schedule's own rho so inference matches training.
+    v_prediction (the NovelAI-V3 recipe): reference semantics
+    (``novelai_v3.py:72-99``) — the first step treats the starting sigma as
+    infinite — ``x = sigmas[0]*n - sigma_data*model(n, inf)``
+    (``ztsnr_first_step`` with ``sigmas[0]``) — then Euler steps walk EVERY
+    adjacent sigma pair ``(sigmas[i-1], sigmas[i])``, so the sampler makes
+    exactly ``num_steps`` model calls and the sigma_max level is visited by
+    the Euler loop too.  ``model_fn(x, sigma)`` is the raw network in sigma
+    space (a closure binding params + conditioning); the ramp uses the
+    schedule's own rho so inference matches training.
+
+    epsilon: the reference's sampler surface covers only the v/ZTSNR recipe,
+    but its training path (and BASELINE config #1) also trains
+    ``prediction_type: epsilon`` — ``F(x0 + sigma*eps, t) -> eps`` with NO
+    input scaling (``ddpm_trainer.py:302-333``, our ``ddpm_loss``).  The
+    consistent inverse is plain Karras-Euler on the denoiser
+    ``D(x, sigma) = x - sigma*F(x, sigma)``, whose Euler direction is
+    ``d = (x - D)/sigma = F`` (the predicted noise), walked down an
+    N-sigma ramp extended to sigma=0 so the final state lands on the data
+    manifold — again exactly ``num_steps`` model calls.  The infinite-sigma
+    first step is v-specific (it relies on c_skip->0, c_out->-sigma_data)
+    and is not applied here.
+
+    img2img (``init`` + ``strength``): ``init`` is a clean latent tensor of
+    ``latent_shape``; the walk starts partway down the ramp at
+    ``sigmas[i0]``, ``i0 = round((1-strength)*num_steps)``, from the
+    training forward process ``x = init + sigma_start*noise`` — strength 1
+    is full generation (``init`` ignored), strength→0 returns the init
+    nearly unchanged.  The diffusers img2img timestep convention.
+
+    Ensemble-of-expert-denoisers handoff (SDXL base->refiner, the diffusers
+    ``denoising_end``/``denoising_start`` contract): ``denoising_end=e``
+    stops the walk at ramp index round(e*(num_steps-1)) and returns the
+    still-NOISY latents at that sigma; ``denoising_start=s`` takes ``init``
+    as ALREADY-NOISY latents at ramp index round(s*(num_steps-1)) (no noise
+    is added) and walks the rest.  Both stages must sample the same ramp
+    (same num_steps / sigma range / rho) for the sigma levels to line up.
     """
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    if denoising_start is not None and init is None:
+        raise ValueError("denoising_start requires init (the noisy latents "
+                         "handed off by the denoising_end stage)")
     sigmas = karras_sigmas(
         num_steps,
         float(schedule.sigmas[-1]),
         ZTSNR_SIGMA_MAX if schedule.use_ztsnr else float(schedule.sigmas[0]),
         rho=schedule.rho,
     )
+    i0 = 0
+    noisy_init = False
+    if denoising_start is not None:
+        if not 0.0 <= denoising_start < 1.0:
+            raise ValueError(f"denoising_start in [0,1): {denoising_start}")
+        i0 = min(int(round(denoising_start * (num_steps - 1))),
+                 num_steps - 1)
+        noisy_init = True
+    elif init is not None and strength < 1.0:
+        i0 = min(int(round((1.0 - strength) * num_steps)), num_steps - 1)
+    i_end = num_steps  # exclusive pair-walk bound (index of the last sigma)
+    if denoising_end is not None:
+        if not 0.0 < denoising_end <= 1.0:
+            raise ValueError(f"denoising_end in (0,1]: {denoising_end}")
+        i_end = max(i0 + 1, int(round(denoising_end * (num_steps - 1))) + 1)
     n = jax.random.normal(key, latent_shape, dtype=jnp.float32)
-    x = sigmas[0] * n - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf))
+
+    if schedule.prediction_type == "epsilon":
+        ramp = jnp.append(sigmas, 0.0)
+        if init is None:
+            x = ramp[0] * n
+        elif noisy_init:
+            x = init.astype(jnp.float32)
+        else:
+            x = init.astype(jnp.float32) + ramp[i0] * n
+
+        def euler_step_eps(x, sigma_pair):
+            sigma_i, sigma_next = sigma_pair
+            d = model_fn(x, sigma_i)  # = eps_hat = (x - D)/sigma
+            return x + (sigma_next - sigma_i) * d, None
+
+        hi = (len(ramp) if denoising_end is None or denoising_end >= 1.0
+              else i_end)
+        pairs = jnp.stack([ramp[i0:hi - 1], ramp[i0 + 1:hi]], axis=1)
+        x, _ = jax.lax.scan(euler_step_eps, x, pairs)
+        return x
+
+    if init is None:
+        # pure generation: the ZTSNR infinite-sigma first step
+        x = (sigmas[0] * n
+             - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf)))
+    elif noisy_init:
+        x = init.astype(jnp.float32)
+    else:
+        # partial denoise: enter the ramp via the training forward process
+        x = init.astype(jnp.float32) + sigmas[i0] * n
+        if schedule.use_ztsnr:
+            x = jnp.clip(x, -ZTSNR_SIGMA_MAX, ZTSNR_SIGMA_MAX)
 
     def euler_step(x, sigma_pair):
         sigma_i, sigma_next = sigma_pair
@@ -265,13 +348,14 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
         d = (x - denoised) / sigma_i
         return x + (sigma_next - sigma_i) * d, None
 
-    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+    pairs = jnp.stack([sigmas[i0:i_end - 1], sigmas[i0 + 1:i_end]], axis=1)
     x, _ = jax.lax.scan(euler_step, x, pairs)
     return x
 
 
 def sample_flow(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
-                num_steps: int = 28) -> jnp.ndarray:
+                num_steps: int = 28, init: Optional[jnp.ndarray] = None,
+                strength: float = 1.0) -> jnp.ndarray:
     """Euler ODE sampler for flow-matching-trained models.
 
     Integrates the optimal-transport probability-flow ODE ``dx/dt = v(x, t)``
@@ -282,12 +366,26 @@ def sample_flow(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
     import-dead, so this is the working inverse of that training path).
 
     ``model_fn(x, t)`` takes a scalar t and returns the (CFG-combined)
-    velocity.  Fixed grid t_i = i/N, dt = 1/N — N model calls, the same
-    budget as the ZTSNR sampler's.
+    velocity.  Fixed grid over the integrated interval — N model calls for
+    full generation, the same budget as the ZTSNR sampler's.
+
+    img2img (``init`` + ``strength``): start at ``t0 = 1 - strength`` on the
+    training path ``x = (1-t0)*noise + t0*init`` and integrate the remaining
+    interval [t0, 1] in ``round(strength*num_steps)`` steps (the diffusers
+    step-budget convention: weaker edits cost fewer model calls).
     """
-    x = jax.random.normal(key, latent_shape, dtype=jnp.float32)
-    dt = 1.0 / num_steps
-    ts = jnp.arange(num_steps, dtype=jnp.float32) * dt
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    noise = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+    if init is None or strength >= 1.0:
+        t0, x = 0.0, noise
+        n_run = num_steps
+    else:
+        t0 = 1.0 - strength
+        x = (1.0 - t0) * noise + t0 * init.astype(jnp.float32)
+        n_run = max(1, int(round(strength * num_steps)))
+    dt = (1.0 - t0) / n_run
+    ts = t0 + jnp.arange(n_run, dtype=jnp.float32) * dt
 
     def euler_step(x, t):
         return x + dt * model_fn(x, t), None

@@ -91,10 +91,14 @@ class ValidationSampler:
             return x
         return jax.lax.with_sharding_constraint(x, M.batch_sharding(self.mesh))
 
-    def _denoiser(self, unet_params, prompt_embeds, pooled, time_ids):
+    def _denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
+                  extra=None):
         """model_fn(x, sigma) for the sampler: raw network F(c_in*x, t(sigma))
         with CFG when guidance > 1.  Conditioning rows are stacked
-        [uncond; cond] along batch."""
+        [uncond; cond] along batch.  ``extra`` ([2B, K, h, w], already
+        CFG-stacked) is concatenated on the channel axis every call — the
+        inpainting conditioning (mask + masked-image latents) for 9-channel
+        UNets."""
         sigmas = self.schedule.sigmas
         guidance = self.guidance_scale
 
@@ -105,7 +109,10 @@ class ValidationSampler:
                 - jnp.log(jnp.maximum(sigma, 1e-8))))
             b = x.shape[0]
             t = jnp.full((2 * b,), t_idx, jnp.int32)
-            x2 = self._bshard(jnp.concatenate([x, x], axis=0))
+            x2 = jnp.concatenate([x, x], axis=0)
+            if extra is not None:
+                x2 = jnp.concatenate([x2, extra.astype(x2.dtype)], axis=1)
+            x2 = self._bshard(x2)
             pred = self.model.unet_apply(unet_params, x2, t, prompt_embeds,
                                          pooled, time_ids)
             uncond, cond = jnp.split(pred.astype(jnp.float32), 2, axis=0)
@@ -113,7 +120,8 @@ class ValidationSampler:
 
         return fn
 
-    def _flow_denoiser(self, unet_params, prompt_embeds, pooled, time_ids):
+    def _flow_denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
+                       extra=None):
         """model_fn(x, t) -> CFG-combined velocity, t scalar in [0,1].
 
         The UNet is called with the float time directly — the flow-matching
@@ -124,7 +132,10 @@ class ValidationSampler:
         def fn(x, t):
             b = x.shape[0]
             tvec = jnp.full((2 * b,), t, jnp.float32)
-            x2 = self._bshard(jnp.concatenate([x, x], axis=0))
+            x2 = jnp.concatenate([x, x], axis=0)
+            if extra is not None:
+                x2 = jnp.concatenate([x2, extra.astype(x2.dtype)], axis=1)
+            x2 = self._bshard(x2)
             v = self.model.unet_apply(unet_params, x2, tvec, prompt_embeds,
                                       pooled, time_ids)
             uncond, cond = jnp.split(v.astype(jnp.float32), 2, axis=0)
@@ -134,13 +145,30 @@ class ValidationSampler:
 
     def generate(self, unet_params, prompts: Sequence[str], key: jax.Array,
                  height: int = 1024, width: int = 1024,
-                 negative_prompts: Optional[Sequence[str]] = None
-                 ) -> List[np.ndarray]:
+                 negative_prompts: Optional[Sequence[str]] = None,
+                 init_latents: Optional[jnp.ndarray] = None,
+                 strength: float = 1.0,
+                 extra_channels: Optional[jnp.ndarray] = None,
+                 aesthetic_score: float = 6.0,
+                 negative_aesthetic_score: float = 2.5,
+                 denoising_start: Optional[float] = None,
+                 denoising_end: Optional[float] = None,
+                 return_latents: bool = False) -> List[np.ndarray]:
         """Sample one image per prompt; returns HWC uint8 arrays.
 
         ``negative_prompts`` replace the empty-string unconditional rows
         (the diffusers-pipeline CFG surface the reference hands back via
-        ``create_pipeline``, ``sdxl.py:188-198``)."""
+        ``create_pipeline``, ``sdxl.py:188-198``).
+
+        ``init_latents`` [n, C_lat, h/f, w/f] + ``strength`` run img2img:
+        the sampler enters its schedule partway down and denoises from the
+        noised init instead of pure noise.  ``extra_channels`` [n, K, h/f,
+        w/f] are per-step channel-concatenated conditioning (inpainting
+        mask + masked latents for 9-channel UNets).  5-time-id UNets (the
+        refiner) get [h, w, 0, 0, aesthetic_score] conditioning rows with
+        the diffusers cond/uncond aesthetic-score split.
+        ``return_latents`` skips VAE decode and returns the latent tensor
+        (the base->refiner handoff)."""
         negs = (list(negative_prompts) if negative_prompts
                 else [""] * len(prompts))
         if len(negs) != len(prompts):
@@ -155,8 +183,24 @@ class ValidationSampler:
                               enc["prompt_embeds"][:n]], axis=0)
         pooled = jnp.concatenate([enc["pooled_prompt_embeds"][n:],
                                   enc["pooled_prompt_embeds"][:n]], axis=0)
-        time_ids = jnp.tile(jnp.asarray(
-            [[height, width, 0, 0, height, width]], jnp.float32), (2 * n, 1))
+        if self.model.unet_config.num_time_ids == 5:
+            # refiner conditioning: aesthetic score replaces target size,
+            # split cond/uncond (diffusers StableDiffusionXLImg2ImgPipeline
+            # convention: 6.0 cond / 2.5 uncond by default)
+            uncond_row = [height, width, 0, 0, negative_aesthetic_score]
+            cond_row = [height, width, 0, 0, aesthetic_score]
+            time_ids = jnp.concatenate([
+                jnp.tile(jnp.asarray([uncond_row], jnp.float32), (n, 1)),
+                jnp.tile(jnp.asarray([cond_row], jnp.float32), (n, 1)),
+            ], axis=0)
+        else:
+            time_ids = jnp.tile(jnp.asarray(
+                [[height, width, 0, 0, height, width]], jnp.float32),
+                (2 * n, 1))
+        extra = None
+        if extra_channels is not None:
+            # CFG-stack the conditioning channels to match [uncond; cond]
+            extra = jnp.concatenate([extra_channels, extra_channels], axis=0)
 
         if self.mesh is not None:
             # TP-split the UNet by the training rules (replicated over
@@ -168,16 +212,34 @@ class ValidationSampler:
             time_ids = self._bshard(time_ids)
 
         f = self.model.vae.config.downscale_factor
-        lat_shape = (n, self.model.unet_config.in_channels,
-                     height // f, width // f)
+        lat_ch = self.model.unet_config.in_channels - (
+            0 if extra_channels is None else extra_channels.shape[1])
+        lat_shape = (n, lat_ch, height // f, width // f)
+        if init_latents is not None and tuple(init_latents.shape) != lat_shape:
+            raise ValueError(
+                f"init_latents shape {tuple(init_latents.shape)} != "
+                f"expected {lat_shape}")
         if self.method == "flow_matching":
-            model_fn = self._flow_denoiser(unet_params, pe, pooled, time_ids)
+            if denoising_start is not None or denoising_end is not None:
+                raise ValueError("denoising_start/denoising_end (the "
+                                 "base->refiner sigma handoff) apply to the "
+                                 "sigma-space sampler only, not "
+                                 "flow_matching")
+            model_fn = self._flow_denoiser(unet_params, pe, pooled, time_ids,
+                                           extra=extra)
             latents = S.sample_flow(model_fn, key, lat_shape,
-                                    num_steps=self.num_inference_steps)
+                                    num_steps=self.num_inference_steps,
+                                    init=init_latents, strength=strength)
         else:
-            model_fn = self._denoiser(unet_params, pe, pooled, time_ids)
+            model_fn = self._denoiser(unet_params, pe, pooled, time_ids,
+                                      extra=extra)
             latents = S.sample_ztsnr(model_fn, key, lat_shape, self.schedule,
-                                     num_steps=self.num_inference_steps)
+                                     num_steps=self.num_inference_steps,
+                                     init=init_latents, strength=strength,
+                                     denoising_start=denoising_start,
+                                     denoising_end=denoising_end)
+        if return_latents:
+            return latents
         decoded = self.model.decode_latents(latents.astype(jnp.float32))
         return latents_to_images(decoded)
 
@@ -255,7 +317,8 @@ def _jitted_val_loss(loss_fn, unet_apply, schedule, mcfg):
 
 
 def validation_loss(unet_apply, params, dataset, schedule, config,
-                    key: jax.Array, max_batches: int = 8) -> Optional[float]:
+                    key: jax.Array, max_batches: int = 8,
+                    num_time_ids: int = 6) -> Optional[float]:
     """Mean training-method loss over the validation set.
 
     Deterministic across calls (epoch-0 batch order, step-indexed rng keys
@@ -264,7 +327,8 @@ def validation_loss(unet_apply, params, dataset, schedule, config,
     ``data.validation_data_dir`` is set (``SDXLTrainer.train``).  The loss
     is jitted per batch shape (bucketed datasets produce one executable per
     resolution, same as training)."""
-    from sdxl_training_improvements_tpu.data.pipeline import batches_for_epoch
+    from sdxl_training_improvements_tpu.data.pipeline import (
+        adapt_batch_time_ids, batches_for_epoch)
 
     loss_fn = get_method(config.training.method)
     mcfg = config.model
@@ -275,6 +339,10 @@ def validation_loss(unet_apply, params, dataset, schedule, config,
             seed=config.training.seed)):
         if i >= max_batches:
             break
+        if num_time_ids != 6:  # refiner fine-tune: 5-id conditioning
+            batch = adapt_batch_time_ids(
+                batch, num_time_ids,
+                getattr(mcfg, "aesthetic_score", 6.0))
         # fold_in(i), not split: the same key/batch pairing every call
         k = jax.random.fold_in(key, i)
         jbatch = {kk: jnp.asarray(v) for kk, v in batch.items()}

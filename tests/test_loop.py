@@ -181,6 +181,80 @@ class TestTrainerLoop:
         assert int(t2.state.step) == 2 * step1
 
 
+class TestVariantFineTune:
+    """Checkpoint-declared topology through the TRAINING path: a refiner
+    (single-encoder, 5 time-ids) fine-tunes end to end; an inpainting
+    (9-channel) checkpoint is refused loudly (no mask-channel data source
+    in the training pipeline yet)."""
+
+    def _export_variant(self, tmp_path, cfg, *, refiner: bool):
+        from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+        from sdxl_training_improvements_tpu.models.unet import UNetConfig
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_diffusers)
+        if refiner:
+            ucfg = UNetConfig.tiny(
+                num_time_ids=5, cross_attention_dim=32,
+                projection_class_embeddings_input_dim=32 + 5 * 8)
+            comps = ("unet", "vae", "clip_g")
+        else:
+            ucfg = UNetConfig.tiny(in_channels=9)
+            comps = ("unet", "vae", "clip_l", "clip_g")
+        m = SDXLModel.create(tiny=True, dtype=jnp.float32, unet_config=ucfg,
+                             refiner=refiner, init_rng=jax.random.key(5),
+                             init_components=comps)
+        ckpt = tmp_path / ("refiner_ckpt" if refiner else "inpaint_ckpt")
+        export_diffusers(ckpt, m.params, cfg, unet_config=ucfg)
+        return ckpt
+
+    def test_refiner_checkpoint_finetunes(self, trainer_setup):
+        cfg, _, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        ckpt = self._export_variant(tmp_path, cfg, refiner=True)
+        cfg.model.model_type = "sdxl_tiny"
+        cfg.model.pretrained_model_name = str(ckpt)
+        trainer = SDXLTrainer(cfg, dataset=ds,
+                              output_dir=str(tmp_path / "ref_out"),
+                              use_mesh=False)
+        assert trainer.model.clip_l is None  # single-encoder bundle
+        assert trainer.model.unet_config.num_time_ids == 5
+        trainer.prepare_data()  # precompute through CLIP-G alone
+        metrics = trainer.train(num_epochs=1)
+        assert np.isfinite(metrics["loss"])
+        # the re-export keeps the refiner layout (no text_encoder/)
+        final = tmp_path / "ref_out" / "final_checkpoint"
+        assert (final / "text_encoder_2").exists()
+        assert not (final / "text_encoder").exists()
+        raw = json.loads((final / "unet" / "config.json").read_text())
+        assert raw["projection_class_embeddings_input_dim"] == 32 + 5 * 8
+
+    def test_inpainting_checkpoint_refused(self, trainer_setup):
+        cfg, _, ds, tmp_path = trainer_setup
+        from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+        ckpt = self._export_variant(tmp_path, cfg, refiner=False)
+        cfg.model.model_type = "sdxl_tiny"
+        cfg.model.pretrained_model_name = str(ckpt)
+        with pytest.raises(ValueError, match="inpainting"):
+            SDXLTrainer(cfg, dataset=ds,
+                        output_dir=str(tmp_path / "inp_out"),
+                        use_mesh=False)
+
+    def test_adapt_batch_time_ids(self):
+        from sdxl_training_improvements_tpu.data.pipeline import (
+            adapt_batch_time_ids)
+        batch = {"time_ids": np.asarray(
+            [[64, 64, 0, 0, 64, 64], [32, 48, 1, 2, 32, 48]], np.float32)}
+        out = adapt_batch_time_ids(batch, 5, aesthetic_score=6.0)
+        np.testing.assert_array_equal(
+            out["time_ids"],
+            np.asarray([[64, 64, 0, 0, 6.0], [32, 48, 1, 2, 6.0]],
+                       np.float32))
+        # identity when widths already match; loud error otherwise
+        assert adapt_batch_time_ids(batch, 6) is batch
+        with pytest.raises(ValueError, match="cannot adapt"):
+            adapt_batch_time_ids(batch, 4)
+
+
 class TestCLI:
     def test_parser_defaults(self):
         from sdxl_training_improvements_tpu.main import build_parser

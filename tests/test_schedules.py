@@ -230,3 +230,61 @@ class TestZTSNRSamplerParity:
         cfg.model.rho = 3.0
         sched = NoiseSchedule.from_config(cfg)
         assert sched.rho == 3.0
+
+
+class TestEpsilonSampler:
+    """prediction_type: epsilon — the sampler family for BASELINE config #1
+    (ddpm eps-pred); the v/ZTSNR composition would be the wrong inverse."""
+
+    def _eps_schedule(self):
+        return S.NoiseSchedule.create(num_timesteps=50, use_ztsnr=False,
+                                      sigma_max=80.0,
+                                      prediction_type="epsilon")
+
+    def test_perfect_eps_model_recovers_target_exactly(self):
+        """With data a single known point c, the ideal eps-model is
+        F(x, sigma) = (x - c)/sigma, and Euler contracts (x - c) by
+        sigma_next/sigma each step — the sigma=0 terminal step lands ON c,
+        for any starting noise and any step count (the ODE is linear)."""
+        c = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 8, 8)),
+                        jnp.float32)
+        sched = self._eps_schedule()
+
+        def model_fn(x, sigma):
+            return (x - c) / sigma
+
+        out = S.sample_ztsnr(model_fn, jax.random.key(7), c.shape, sched,
+                             num_steps=6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(c),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_no_infinite_sigma_call(self):
+        """The ZTSNR infinite-sigma first step is v-specific; the eps branch
+        must only ever call the model at finite ramp sigmas."""
+        sched = self._eps_schedule()
+        seen = []
+
+        def model_fn(x, sigma):
+            try:
+                seen.append(float(sigma))
+            except Exception:
+                seen.append("traced")
+            return jnp.zeros_like(x)
+
+        out = S.sample_ztsnr(model_fn, jax.random.key(0), (1, 4, 8, 8),
+                             sched, num_steps=5)
+        assert np.isfinite(np.asarray(out)).all()
+        assert float("inf") not in [s for s in seen if s != "traced"]
+
+    def test_eps_and_v_paths_differ(self):
+        """Same weights/seed through the two prediction types must produce
+        different latents (guard against fall-through to the v branch)."""
+        model_fn = lambda x, s: 0.1 * x  # noqa: E731
+        key = jax.random.key(0)
+        shape = (1, 4, 8, 8)
+        out_v = S.sample_ztsnr(
+            model_fn, key, shape,
+            S.NoiseSchedule.create(num_timesteps=50), num_steps=4)
+        out_e = S.sample_ztsnr(model_fn, key, shape, self._eps_schedule(),
+                               num_steps=4)
+        assert not np.array_equal(np.asarray(out_v), np.asarray(out_e))

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of the sigma walk done by the base model "
                         "before the refiner takes over")
     p.add_argument("--aesthetic-score", type=float, default=6.0)
+    p.add_argument("--sampler", choices=["euler", "dpmpp_2m"],
+                   default="euler",
+                   help="sigma-space integration rule: euler (reference "
+                        "ZTSNR walk) or dpmpp_2m (2nd-order multistep — "
+                        "same quality in ~half the steps; try --steps 14)")
     return p
 
 
@@ -115,8 +120,9 @@ def main(argv=None) -> int:
     if args.mask and not args.init:
         raise SystemExit("--mask requires --init (the image to repaint)")
     pipe = SDXLPipeline.from_pretrained(args.model, tiny=args.tiny,
-                                        method=method, mesh=mesh)
-    print(f"sampler method: {pipe.method}")
+                                        method=method, mesh=mesh,
+                                        sampler=args.sampler)
+    print(f"sampler method: {pipe.method} ({args.sampler})")
     if args.mask:
         inits = _load_images(args.init, args.height, args.width)
         masks = _load_masks(args.mask, args.height, args.width)
@@ -142,7 +148,8 @@ def main(argv=None) -> int:
                      negative_prompts=args.negative,
                      denoising_end=args.denoising_frac)
         refiner = SDXLPipeline.from_pretrained(args.refiner, tiny=args.tiny,
-                                               mesh=mesh)
+                                               mesh=mesh,
+                                               sampler=args.sampler)
         print(f"refining from denoising fraction {args.denoising_frac}")
         images = refiner.refine(args.prompt, noisy,
                                 denoising_start=args.denoising_frac,

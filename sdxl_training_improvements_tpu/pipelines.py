@@ -30,7 +30,7 @@ from sdxl_training_improvements_tpu.training.validation import (
 class SDXLPipeline:
     def __init__(self, model: SDXLModel, tokenizers: TokenizerPair,
                  schedule: Optional[NoiseSchedule] = None,
-                 method: str = "ddpm", mesh=None):
+                 method: str = "ddpm", mesh=None, sampler: str = "euler"):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule or NoiseSchedule.create()
@@ -39,6 +39,10 @@ class SDXLPipeline:
         # the tensor axis and data-parallels the CFG-stacked batch
         # (ValidationSampler semantics); None = single device
         self.mesh = mesh
+        # sigma-space integration rule: "euler" (reference-parity ZTSNR
+        # walk) or "dpmpp_2m" (2nd-order multistep, ~half the steps for
+        # the same quality — use num_inference_steps ~12-15)
+        self.sampler = sampler
 
     @staticmethod
     def declared_method(model_dir) -> Optional[str]:
@@ -118,7 +122,7 @@ class SDXLPipeline:
     def from_pretrained(cls, model_dir, tiny: bool = False,
                         schedule: Optional[NoiseSchedule] = None,
                         method: Optional[str] = None,
-                        mesh=None) -> "SDXLPipeline":
+                        mesh=None, sampler: str = "euler") -> "SDXLPipeline":
         """``method=None`` auto-detects from the checkpoint's config.json —
         a flow-matching-trained checkpoint must not be sampled through the
         sigma-space ZTSNR sampler (and vice versa).  The UNet topology and
@@ -163,15 +167,16 @@ class SDXLPipeline:
                 f"checkpoint at {model_dir} missing components: {missing}")
         return cls(model,
                    load_tokenizers(Path(model_dir), single_encoder=refiner),
-                   schedule, method=method, mesh=mesh)
+                   schedule, method=method, mesh=mesh, sampler=sampler)
 
     @classmethod
     def from_model(cls, model: SDXLModel,
                    tokenizers: Optional[TokenizerPair] = None,
                    schedule: Optional[NoiseSchedule] = None,
-                   method: str = "ddpm", mesh=None) -> "SDXLPipeline":
+                   method: str = "ddpm", mesh=None,
+                   sampler: str = "euler") -> "SDXLPipeline":
         return cls(model, tokenizers or TokenizerPair.fallback(), schedule,
-                   method=method, mesh=mesh)
+                   method=method, mesh=mesh, sampler=sampler)
 
     # ----------------------------------------------------------- internals
     def _sampler(self, num_inference_steps: int,
@@ -180,7 +185,8 @@ class SDXLPipeline:
                                  self.schedule,
                                  num_inference_steps=num_inference_steps,
                                  guidance_scale=guidance_scale,
-                                 method=self.method, mesh=self.mesh)
+                                 method=self.method, mesh=self.mesh,
+                                 sampler=self.sampler)
 
     def _encode_pixels(self, images: Sequence[np.ndarray], height: int,
                        width: int, key) -> "jax.Array":

@@ -236,6 +236,29 @@ def get_add_time_ids(original_sizes, crop_top_lefts, target_sizes,
 # ZTSNR / Euler sampling (inference + validation imaging)
 # --------------------------------------------------------------------------
 
+def make_denoised_fn(model_fn, schedule: NoiseSchedule):
+    """D(x, sigma): the clean-image estimate implied by the raw network,
+    per the schedule's prediction type.
+
+    * v_prediction: the Karras boundary composition the reference samples
+      with — ``D = c_skip*x + c_out*F(c_in*x, sigma)`` (``novelai_v3.py:
+      59-84``).
+    * epsilon: the training forward applies no input scaling
+      (``ddpm_trainer.py:302-333``), so ``D = x - sigma*F(x, sigma)``.
+
+    Shared by every sigma-space sampler (Euler, DPM-Solver++); all of them
+    step on D, differing only in the integration rule.
+    """
+    if schedule.prediction_type == "epsilon":
+        def denoised(x, sigma):
+            return x - sigma * model_fn(x, sigma)
+        return denoised
+
+    def denoised(x, sigma):
+        c_skip, c_out, c_in = karras_scalings(sigma, schedule.sigma_data)
+        return c_skip * x + c_out * model_fn(c_in * x, sigma)
+    return denoised
+
 def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
                  schedule: NoiseSchedule, num_steps: int = 28,
                  init: Optional[jnp.ndarray] = None,
@@ -350,6 +373,106 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
 
     pairs = jnp.stack([sigmas[i0:i_end - 1], sigmas[i0 + 1:i_end]], axis=1)
     x, _ = jax.lax.scan(euler_step, x, pairs)
+    return x
+
+
+def sample_dpmpp_2m(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
+                    schedule: NoiseSchedule, num_steps: int = 14,
+                    init: Optional[jnp.ndarray] = None,
+                    strength: float = 1.0,
+                    denoising_start: Optional[float] = None,
+                    denoising_end: Optional[float] = None) -> jnp.ndarray:
+    """DPM-Solver++(2M): second-order multistep sampler in log-sigma space
+    (Lu et al., arXiv 2211.01095; the k-diffusion ``sample_dpmpp_2m``
+    update rule).  Produces Euler-28-step quality in ~12-15 steps — a ~2x
+    serving speedup per image at the same model — because the data-space
+    parameterisation integrates the probability-flow ODE exactly for a
+    constant denoised estimate and the 2M correction cancels the local
+    curvature using the previous step's estimate (no extra model calls).
+
+    Same surface as :func:`sample_ztsnr` (init/strength img2img entry,
+    denoising_start/end ensemble handoff, prediction-type dispatch via
+    :func:`make_denoised_fn`); the reference ships only the Euler/ZTSNR
+    walk (``novelai_v3.py:72-99``) — this is an addition its users got
+    from diffusers' scheduler zoo.
+
+    Update rule per step i (lambda = -ln sigma, h = lambda_{i+1} -
+    lambda_i):  ``x <- (sigma_{i+1}/sigma_i) x - expm1(-h) * D~`` with
+    ``D~ = (1 + 1/2r) D_i - (1/2r) D_{i-1}``, ``r = h_{i-1}/h_i`` (plain
+    ``D_i`` on the first step and on a terminal sigma=0 step).
+    """
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    if denoising_start is not None and init is None:
+        raise ValueError("denoising_start requires init (the noisy latents "
+                         "handed off by the denoising_end stage)")
+    sigmas = karras_sigmas(
+        num_steps,
+        float(schedule.sigmas[-1]),
+        ZTSNR_SIGMA_MAX if schedule.use_ztsnr else float(schedule.sigmas[0]),
+        rho=schedule.rho,
+    )
+    eps_mode = schedule.prediction_type == "epsilon"
+    ramp = jnp.append(sigmas, 0.0) if eps_mode else sigmas
+
+    i0 = 0
+    noisy_init = False
+    if denoising_start is not None:
+        if not 0.0 <= denoising_start < 1.0:
+            raise ValueError(f"denoising_start in [0,1): {denoising_start}")
+        i0 = min(int(round(denoising_start * (num_steps - 1))),
+                 num_steps - 1)
+        noisy_init = True
+    elif init is not None and strength < 1.0:
+        i0 = min(int(round((1.0 - strength) * num_steps)), num_steps - 1)
+    i_end = len(ramp)  # exclusive bound on sigma indices walked
+    if denoising_end is not None:
+        if not 0.0 < denoising_end <= 1.0:
+            raise ValueError(f"denoising_end in (0,1]: {denoising_end}")
+        if denoising_end < 1.0:
+            i_end = max(i0 + 2,
+                        int(round(denoising_end * (num_steps - 1))) + 1)
+
+    n = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+    if init is None:
+        if eps_mode:
+            x = ramp[0] * n
+        else:
+            # ZTSNR infinite-sigma first step, exactly as the Euler sampler
+            x = (sigmas[0] * n
+                 - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf)))
+    elif noisy_init:
+        x = init.astype(jnp.float32)
+    else:
+        x = init.astype(jnp.float32) + ramp[i0] * n
+        if schedule.use_ztsnr and not eps_mode:
+            x = jnp.clip(x, -ZTSNR_SIGMA_MAX, ZTSNR_SIGMA_MAX)
+
+    denoise = make_denoised_fn(model_fn, schedule)
+
+    def lam(sigma):  # lambda = -ln sigma, with a terminal-0 guard
+        return -jnp.log(jnp.maximum(sigma, 1e-20))
+
+    def step(carry, sigma_pair):
+        x, old_d, h_prev, first = carry
+        sigma_i, sigma_next = sigma_pair
+        d = denoise(x, sigma_i)
+        h = lam(sigma_next) - lam(sigma_i)
+        # first step and terminal sigma=0 step fall back to first order
+        # (h -> inf there, so the 2M correction is undefined)
+        use_first = jnp.logical_or(first, sigma_next <= 0.0)
+        safe_r = jnp.where(first, 1.0, h_prev / jnp.where(h == 0, 1.0, h))
+        d2 = (1.0 + 1.0 / (2.0 * safe_r)) * d \
+            - (1.0 / (2.0 * safe_r)) * jnp.where(first, d, old_d)
+        dt = jnp.where(use_first, d, d2)
+        ratio = jnp.where(sigma_next <= 0.0, 0.0, sigma_next / sigma_i)
+        x = ratio * x - jnp.expm1(-h) * dt
+        return (x, d, h, jnp.zeros_like(first)), None
+
+    pairs = jnp.stack([ramp[i0:i_end - 1], ramp[i0 + 1:i_end]], axis=1)
+    first = jnp.asarray(True)
+    (x, _, _, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x), jnp.float32(1.0), first), pairs)
     return x
 
 

@@ -240,6 +240,53 @@ class TestRefinerPipeline:
 # Checkpoint-declared topology loading
 # --------------------------------------------------------------------------
 
+class TestDpmppRouting:
+    def test_pipeline_dpmpp_generates(self, base_model):
+        pipe = SDXLPipeline.from_model(base_model, sampler="dpmpp_2m")
+        imgs = pipe(["a cat"], height=32, width=32, num_inference_steps=4)
+        assert imgs[0].shape == (32, 32, 3)
+
+    def test_dpmpp_and_euler_differ(self, base_model):
+        outs = {}
+        for s in ("euler", "dpmpp_2m"):
+            pipe = SDXLPipeline.from_model(base_model, sampler=s)
+            outs[s] = pipe(["x"], height=32, width=32,
+                           num_inference_steps=4,
+                           return_latents=True)
+        assert not np.array_equal(np.asarray(outs["euler"]),
+                                  np.asarray(outs["dpmpp_2m"]))
+
+    def test_dpmpp_img2img_and_handoff(self, base_model):
+        pipe = SDXLPipeline.from_model(base_model, sampler="dpmpp_2m")
+        img = pipe.img2img(["x"], latents=jnp.zeros((1, 4, 16, 16)),
+                           strength=0.5, num_inference_steps=4)[0]
+        assert img.shape == (32, 32, 3)
+        noisy = pipe(["x"], height=32, width=32, num_inference_steps=4,
+                     denoising_end=0.6)
+        out = pipe.refine(["x"], noisy, denoising_start=0.6,
+                          num_inference_steps=4)[0]
+        assert out.shape == (32, 32, 3)
+
+    def test_flow_rejects_dpmpp(self, base_model):
+        from sdxl_training_improvements_tpu.models.tokenizer import (
+            TokenizerPair)
+        from sdxl_training_improvements_tpu.training.validation import (
+            ValidationSampler)
+        with pytest.raises(ValueError, match="sigma-space"):
+            ValidationSampler(base_model, TokenizerPair.fallback(),
+                              S.NoiseSchedule.create(),
+                              method="flow_matching", sampler="dpmpp_2m")
+        with pytest.raises(ValueError, match="sampler"):
+            ValidationSampler(base_model, TokenizerPair.fallback(),
+                              S.NoiseSchedule.create(), sampler="bogus")
+
+    def test_cli_flag(self):
+        from sdxl_training_improvements_tpu.generate import build_parser
+        args = build_parser().parse_args(
+            ["--model", "m", "--prompt", "p", "--sampler", "dpmpp_2m"])
+        assert args.sampler == "dpmpp_2m"
+
+
 class TestVariantCheckpointLoading:
     def test_export_writes_unet_config(self, base_model, tmp_path):
         from sdxl_training_improvements_tpu.training.checkpoints import (

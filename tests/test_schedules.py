@@ -276,6 +276,54 @@ class TestEpsilonSampler:
         assert np.isfinite(np.asarray(out)).all()
         assert float("inf") not in [s for s in seen if s != "traced"]
 
+    def test_dpmpp_perfect_model_lands_on_target(self):
+        """With a constant denoised estimate D = c (the perfect eps model
+        for single-point data), every DPM-Solver++ step is EXACT — the
+        terminal sigma=0 step must land on c from any start."""
+        c = jnp.asarray(np.random.default_rng(5).normal(size=(1, 4, 8, 8)),
+                        jnp.float32)
+        sched = self._eps_schedule()
+        out = S.sample_dpmpp_2m(lambda x, s: (x - c) / s, jax.random.key(3),
+                                c.shape, sched, num_steps=5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(c),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_dpmpp_second_order_beats_euler(self):
+        """A denoised estimate varying linearly in lambda = -ln(sigma) —
+        the slow smooth drift real denoisers have, and the regime the 2M
+        extrapolation is built for — D(sigma) = a*lambda.  In lambda space
+        the ODE is x' + x = a*lambda with exact solution
+        x = C e^(-lambda) + a(lambda - 1).  At the same step budget the 2M
+        multistep must track it tighter than Euler (that is the entire
+        point of shipping it)."""
+        a = 0.7
+        sched = S.NoiseSchedule.create(num_timesteps=50, use_ztsnr=False,
+                                       sigma_max=80.0,
+                                       prediction_type="epsilon")
+        # eps-mode F = (x - D)/sigma with D = -a*ln(sigma) = a*lambda
+        model = lambda x, s: (x + a * jnp.log(s)) / s  # noqa: E731
+        shape = (1, 4, 8, 8)
+        init = jnp.zeros(shape, jnp.float32)
+        key = jax.random.key(9)
+        n = 8
+        kw = dict(init=init, strength=0.999, denoising_end=0.9999)
+        out_e = S.sample_ztsnr(model, key, shape, sched, num_steps=n, **kw)
+        out_d = S.sample_dpmpp_2m(model, key, shape, sched, num_steps=n,
+                                  **kw)
+        # both entered at x0 = sigma_0 * noise(key); exact solution at the
+        # walk's terminal sigma (the ramp's last real sigma)
+        ramp = S.karras_sigmas(n, float(sched.sigmas[-1]),
+                               float(sched.sigmas[0]), rho=sched.rho)
+        s0, s1 = float(ramp[0]), float(ramp[-1])
+        lam0, lam1 = -np.log(s0), -np.log(s1)
+        x0 = s0 * jax.random.normal(key, shape, dtype=jnp.float32)
+        C = (np.asarray(x0) - a * (lam0 - 1.0)) * np.exp(lam0)
+        exact = C * np.exp(-lam1) + a * (lam1 - 1.0)
+        err_e = float(jnp.max(jnp.abs(out_e - exact)))
+        err_d = float(jnp.max(jnp.abs(out_d - exact)))
+        assert err_d < err_e, (err_d, err_e)
+        assert err_d < 0.5 * err_e, (err_d, err_e)
+
     def test_eps_and_v_paths_differ(self):
         """Same weights/seed through the two prediction types must produce
         different latents (guard against fall-through to the v branch)."""

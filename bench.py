@@ -137,7 +137,7 @@ def bench_fwd_bwd(cfg, batch, hw, steps, warmup, want_flops=False):
     return (sec, flops) if want_flops else sec
 
 
-def bench_serving(cfg, hw, batch, steps=10, warmup=3):
+def bench_serving(cfg, hw, batch, steps=10, warmup=3, deep_cache=False):
     """CFG inference step (UNet forward only, bf16): seconds/step.
 
     ``batch`` is the CFG-stacked row count (2 rows per image — the
@@ -158,13 +158,34 @@ def bench_serving(cfg, hw, batch, steps=10, warmup=3):
     params = jax.jit(model.init)(jax.random.key(0), sample, t0, ctx, pooled,
                                  time_ids)
 
+    x = jax.random.normal(jax.random.key(1), sample.shape,
+                          jnp.float32).astype(jnp.bfloat16)
+    t = jnp.full((batch,), 500, jnp.int32)
+
+    if deep_cache:
+        # DeepCache shallow step (validation.py::_cached_denoiser): only
+        # conv_in + stage 0 + the last up stage run around the cached deep
+        # feature — this times the per-step cost of the k-1 cached steps
+        @jax.jit
+        def fwd_full(p, xx, tt):
+            return model.apply(p, xx, tt, ctx, pooled, time_ids,
+                               return_deep=True)
+
+        @jax.jit
+        def fwd_shallow(p, xx, tt, d):
+            return model.apply(p, xx, tt, ctx, pooled, time_ids,
+                               deep_cache=d)
+
+        _, deep = jax.block_until_ready(fwd_full(params, x, t))
+        sec = time_fn(lambda: fwd_shallow(params, x, t, deep), steps=steps,
+                      warmup=warmup)
+        del params
+        return sec
+
     @jax.jit
     def fwd(p, x, t):
         return model.apply(p, x, t, ctx, pooled, time_ids)
 
-    x = jax.random.normal(jax.random.key(1), sample.shape,
-                          jnp.float32).astype(jnp.bfloat16)
-    t = jnp.full((batch,), 500, jnp.int32)
     sec = time_fn(lambda: fwd(params, x, t), steps=steps, warmup=warmup)
     del params
     return sec
@@ -448,18 +469,37 @@ def main():
         # opt-in (like SOAP) so the driver's bench run can't stall on two
         # fresh inference HLO compiles; tools/measure_r3.py serving primes
         # the cache and records the same numbers
+        t_full_1img = None
         for sname, sbatch in (("latency_1img_cfg2", 2),
                               ("throughput_4img_cfg8", 8)):
             try:
                 t_s = bench_serving(
                     mkcfg(remat=False, attn_impl="auto"), hw, sbatch,
                     steps=6, warmup=2)
+                if sbatch == 2:
+                    t_full_1img = t_s
                 serving[sname] = {
                     "unet_fwd_ms": round(t_s * 1e3, 1),
                     "images_per_s_28step": round(
                         (sbatch / 2) / (28 * t_s), 3)}
             except Exception as e:
                 serving[sname] = {"error": repr(e)[:200]}
+        try:
+            # DeepCache: full refresh every k steps, shallow between —
+            # effective step time (t_full + (k-1)*t_shallow)/k
+            t_sh = bench_serving(mkcfg(remat=False, attn_impl="auto"),
+                                 hw, 2, steps=6, warmup=2, deep_cache=True)
+            entry = {"unet_shallow_ms": round(t_sh * 1e3, 1)}
+            if t_full_1img:
+                for k in (2, 3):
+                    t_eff = (t_full_1img + (k - 1) * t_sh) / k
+                    entry[f"images_per_s_28step_k{k}"] = round(
+                        1.0 / (28 * t_eff), 3)
+                entry["shallow_speedup_vs_full"] = round(
+                    t_full_1img / t_sh, 2)
+            serving["deepcache_1img_cfg2"] = entry
+        except Exception as e:
+            serving["deepcache_1img_cfg2"] = {"error": repr(e)[:200]}
 
     extra_soap = {}
     if os.environ.get("SDXL_BENCH_SOAP", "0") == "1":

@@ -304,7 +304,7 @@ class TPUConfig:
     # chips: the reference's batch 4 x accum 4 @1024^2 executed as
     # micro 1 x accum 16 measured 273.5 ms/sample (no remat) vs 370
     # ms/sample for batch-4 full-remat on a 16 GB v5e
-    # (outputs/measure_r3.json).  Must divide the global batch; each
+    # (tools/measure_r3.py, 2026-08-17).  Must divide the global batch; each
     # micro-batch is sharded over the data/fsdp mesh axes.
     micro_batch_size: Optional[int] = None
     # flat optimizer state (adamw_bf16 only): pack bf16 leaves into a few

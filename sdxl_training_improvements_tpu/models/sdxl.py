@@ -134,23 +134,53 @@ class SDXLModel:
 
     # ------------------------------------------------------------- compute
     def unet_apply(self, unet_params, sample, timesteps, prompt_embeds,
-                   pooled_prompt_embeds, time_ids, rng=None):
+                   pooled_prompt_embeds, time_ids, rng=None,
+                   deep_cache=None, return_deep: bool = False):
         """``rng`` is part of the trainer apply contract (consumed by
         stochastic adapters like LoRA-with-dropout); the plain UNet is
-        deterministic and ignores it."""
+        deterministic and ignores it.  ``deep_cache``/``return_deep`` are
+        the inference-only DeepCache split (``SDXLUNet.__call__``)."""
         return self.unet.apply(unet_params, sample, timesteps, prompt_embeds,
-                               pooled_prompt_embeds, time_ids)
+                               pooled_prompt_embeds, time_ids,
+                               deep_cache=deep_cache, return_deep=return_deep)
 
     def encode_prompt(self, input_ids_l, input_ids_g, clip_skip: int = 1):
         """Dual-CLIP encoding, reference contract (``clip.py:61-91``).
         With no CLIP-L (refiner bundle) dispatches to single-encoder
         CLIP-G conditioning; ``input_ids_l`` may then be None."""
+        self._check_token_ids(input_ids_l, input_ids_g)
         if self.clip_l is None:
             return encode_g(self.clip_g, self.params["clip_g"],
                             input_ids_g, clip_skip=clip_skip)
         return encode_dual(self.clip_l, self.params["clip_l"],
                            self.clip_g, self.params["clip_g"],
                            input_ids_l, input_ids_g, clip_skip=clip_skip)
+
+    def _check_token_ids(self, input_ids_l, input_ids_g) -> None:
+        """Out-of-vocab token ids produce NaN embeddings (flax ``nn.Embed``
+        gathers via ``jnp.take`` whose out-of-bounds mode FILLS with NaN) —
+        which the loss finite-guard then masks into a normal-looking
+        constant loss.  A tokenizer/encoder vocab mismatch must fail
+        loudly at the host boundary instead.  Skipped under tracing (the
+        encode paths are eager everywhere in this framework)."""
+        import numpy as np
+        pairs = [("input_ids_g / tokenizer_2", input_ids_g, self.clip_g)]
+        if self.clip_l is not None:
+            pairs.append(("input_ids_l / tokenizer", input_ids_l,
+                          self.clip_l))
+        for name, ids, enc in pairs:
+            if ids is None or isinstance(ids, jax.core.Tracer):
+                continue
+            mx = int(np.asarray(ids).max())
+            if mx >= enc.cfg.vocab_size:
+                raise ValueError(
+                    f"{name}: token id {mx} >= encoder vocab_size "
+                    f"{enc.cfg.vocab_size} — tokenizer/encoder mismatch "
+                    "(this would gather NaN embeddings and train/sample "
+                    "garbage behind a finite-looking loss). Use a "
+                    "tokenizer matching the checkpoint, or "
+                    "TokenizerPair.fallback(vocab_size=...) matching the "
+                    "model.")
 
     def encode_images(self, pixel_values_nchw, rng):
         """fp32 VAE encode -> sampled, scaled latents (``vae.py:33-56``)."""

@@ -79,7 +79,8 @@ class TokenizerPair:
 
 
 def load_tokenizers(model_dir, max_length: int = 77,
-                    single_encoder: bool = False) -> TokenizerPair:
+                    single_encoder: bool = False,
+                    fallback_vocab_size: int = 49408) -> TokenizerPair:
     """Load from a diffusers checkpoint dir.
 
     ``single_encoder=True`` is the SDXL-refiner layout (CLIP-G only):
@@ -108,7 +109,8 @@ def load_tokenizers(model_dir, max_length: int = 77,
                 "no tokenizer_2/ under %s - using the hash tokenizer "
                 "stand-in (fine for random-init runs, WRONG for pretrained "
                 "CLIP weights)", model_dir)
-            return TokenizerPair.fallback(max_length=max_length)
+            return TokenizerPair.fallback(vocab_size=fallback_vocab_size,
+                                          max_length=max_length)
         tok_g = _load_one(dirs[1], max_length)
         return TokenizerPair(tok_g, tok_g)
     if any(exists) and not all(exists):
@@ -127,7 +129,8 @@ def load_tokenizers(model_dir, max_length: int = 77,
             "no tokenizer/ + tokenizer_2/ under %s - using the hash "
             "tokenizer stand-in (fine for random-init runs, WRONG for "
             "pretrained CLIP weights)", model_dir)
-        return TokenizerPair.fallback(max_length=max_length)
+        return TokenizerPair.fallback(vocab_size=fallback_vocab_size,
+                                      max_length=max_length)
     return TokenizerPair(*[_load_one(d, max_length) for d in dirs])
 
 

@@ -37,7 +37,7 @@ def _small_dots_policy(max_out_elements: int = 8 * 1024 * 1024):
 
     ``dots_with_no_batch_dims_saveable`` keeps every projection/FF output;
     at batch 4 @1024^2 that is ~9 GB of saves and OOMs the 16 GB chip by
-    2.6 GB (measured, outputs/measure_r3.json).  Full remat fits but pays
+    2.6 GB (measured, tools/measure_r3.py, 2026-08-17).  Full remat fits but pays
     the full ~18% recompute tax.  The FLOP/byte asymmetry across the UNet
     resolves this: the deep 32^2 stage holds ~60% of all FLOPs in
     projections/FF whose outputs are only ~10 MB each, while the 64^2
@@ -366,7 +366,7 @@ class SDXLUNet(nn.Module):
                 # only: with the mid block fully rematerialised the batch-4
                 # @1024^2 peak drops ~700 MB below the 16 GB chip (with all
                 # 60 deep-stage layers saving dots it overflowed by 30 MB,
-                # outputs/measure_r3.json) for ~1/6 of the dot-save
+                # tools/measure_r3.py, 2026-08-17) for ~1/6 of the dot-save
                 # recompute win given back.
                 mid_tfm_cls = nn.remat(Transformer2DModel, policy=None)
             return res_cls, tfm_cls, mid_tfm_cls
@@ -374,7 +374,8 @@ class SDXLUNet(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
-                 text_embeds, time_ids):
+                 text_embeds, time_ids, deep_cache=None,
+                 return_deep: bool = False):
         """Predict noise / velocity.
 
         Args:
@@ -388,8 +389,20 @@ class SDXLUNet(nn.Module):
           time_ids: [B, num_time_ids] SDXL micro-conditioning (6 size/crop
             ids for base/inpainting; 5 with aesthetic score for the
             refiner).
+          deep_cache / return_deep: the DeepCache split (arXiv 2312.00858,
+            inference-only).  The "deep feature" is the tensor entering the
+            LAST up stage (NHWC, full latent resolution, channels of the
+            second-to-last up stage).  ``return_deep=True`` returns
+            ``(pred, deep)`` from a full forward; ``deep_cache=<tensor>``
+            computes ONLY conv_in + down stage 0 (the skips the last up
+            stage consumes) and the last up stage + head around the
+            injected feature — skipping every deep stage and the mid block
+            (~90% of SDXL's FLOPs).  Injecting the true deep feature
+            reproduces the full forward exactly (tested); reusing a
+            recent step's feature is the DeepCache approximation.
         Returns:
-          [B, C, H, W] prediction.
+          [B, C, H, W] prediction (plus the deep feature when
+          ``return_deep``).
         """
         cfg = self.config
         dt, pdt = self.dtype, self.param_dtype
@@ -417,7 +430,7 @@ class SDXLUNet(nn.Module):
         # recomputes attention on top of the remat recompute, so monolithic
         # wins wherever the probs transient is affordable (measured b4
         # @1024^2 dots_small: 1483 ms at 512 MB vs 1538 ms all-chunked,
-        # outputs/measure_r3.json); without remat, chunk everything big
+        # tools/measure_r3.py, 2026-08-17); without remat, chunk everything big
         # (the 64 MB default: 273.5 vs 305.8 ms at b1).
         chunk_mb = cfg.attn_chunk_mb or (512 if cfg.remat else None)
 
@@ -428,12 +441,19 @@ class SDXLUNet(nn.Module):
                        dtype=dt, param_dtype=pdt, attn_impl=cfg.attn_impl,
                        attn_chunk_mb=chunk_mb, name=name)
 
+        n_stages = len(cfg.block_out_channels)
+        shallow_only = deep_cache is not None
+        if shallow_only and (n_stages < 2 or return_deep):
+            raise ValueError("deep_cache needs >=2 stages and excludes "
+                             "return_deep")
+
         # --- down path ---
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt,
                     param_dtype=pdt, name="conv_in")(x)
         skips = [x]
-        n_stages = len(cfg.block_out_channels)
-        for i, ch in enumerate(cfg.block_out_channels):
+        down_stages = range(1 if shallow_only else n_stages)
+        for i in down_stages:
+            ch = cfg.block_out_channels[i]
             depth = cfg.transformer_layers_per_block[i]
             for j in range(cfg.layers_per_block):
                 x = res_cls(out_channels=ch, emb_dim=cfg.time_embed_dim,
@@ -444,45 +464,67 @@ class SDXLUNet(nn.Module):
                     x = make_tfm(ch, depth,
                                  f"down_blocks_{i}_attentions_{j}")(x, ctx)
                 skips.append(x)
-            if i < n_stages - 1:
+            if i < n_stages - 1 and not shallow_only:
                 x = Downsample2D(ch, dt, pdt,
                                  name=f"down_blocks_{i}_downsamplers_0")(x)
                 skips.append(x)
 
-        # --- mid ---
-        mid_ch = cfg.block_out_channels[-1]
-        mid_depth = cfg.mid_depth
-        x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
-                    num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
-                    name="mid_block_resnets_0")(x, emb)
-        if mid_depth > 0:
-            x = make_tfm(mid_ch, mid_depth, "mid_block_attentions_0",
-                         cls=mid_tfm_cls)(x, ctx)
-        x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
-                    num_groups=cfg.norm_num_groups, dtype=dt, param_dtype=pdt,
-                    name="mid_block_resnets_1")(x, emb)
-
-        # --- up path ---
+        deep = None
         rev_channels = list(reversed(cfg.block_out_channels))
         rev_depths = list(reversed(cfg.transformer_layers_per_block))
-        for i, ch in enumerate(rev_channels):
-            depth = rev_depths[i]
-            for j in range(cfg.layers_per_block + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = res_cls(out_channels=ch, emb_dim=cfg.time_embed_dim,
-                            num_groups=cfg.norm_num_groups, dtype=dt,
-                            param_dtype=pdt,
-                            name=f"up_blocks_{i}_resnets_{j}")(x, emb)
-                if depth > 0:
-                    x = make_tfm(ch, depth,
-                                 f"up_blocks_{i}_attentions_{j}")(x, ctx)
-            if i < n_stages - 1:
+        if not shallow_only:
+            # --- mid ---
+            mid_ch = cfg.block_out_channels[-1]
+            mid_depth = cfg.mid_depth
+            x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
+                        num_groups=cfg.norm_num_groups, dtype=dt,
+                        param_dtype=pdt, name="mid_block_resnets_0")(x, emb)
+            if mid_depth > 0:
+                x = make_tfm(mid_ch, mid_depth, "mid_block_attentions_0",
+                             cls=mid_tfm_cls)(x, ctx)
+            x = res_cls(out_channels=mid_ch, emb_dim=cfg.time_embed_dim,
+                        num_groups=cfg.norm_num_groups, dtype=dt,
+                        param_dtype=pdt, name="mid_block_resnets_1")(x, emb)
+
+            # --- deep up stages (all but the last) ---
+            for i in range(n_stages - 1):
+                ch, depth = rev_channels[i], rev_depths[i]
+                for j in range(cfg.layers_per_block + 1):
+                    skip = skips.pop()
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = res_cls(out_channels=ch, emb_dim=cfg.time_embed_dim,
+                                num_groups=cfg.norm_num_groups, dtype=dt,
+                                param_dtype=pdt,
+                                name=f"up_blocks_{i}_resnets_{j}")(x, emb)
+                    if depth > 0:
+                        x = make_tfm(ch, depth,
+                                     f"up_blocks_{i}_attentions_{j}")(x, ctx)
                 x = Upsample2D(ch, dt, pdt,
                                name=f"up_blocks_{i}_upsamplers_0")(x)
+            if return_deep:
+                deep = x
+        else:
+            x = deep_cache.astype(dt)
+
+        # --- last up stage (always computed) ---
+        i = n_stages - 1
+        ch, depth = rev_channels[i], rev_depths[i]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = res_cls(out_channels=ch, emb_dim=cfg.time_embed_dim,
+                        num_groups=cfg.norm_num_groups, dtype=dt,
+                        param_dtype=pdt,
+                        name=f"up_blocks_{i}_resnets_{j}")(x, emb)
+            if depth > 0:
+                x = make_tfm(ch, depth,
+                             f"up_blocks_{i}_attentions_{j}")(x, ctx)
 
         # --- head ---
         x = GroupNormSiLU(cfg.norm_num_groups, 1e-5, name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt,
                     param_dtype=pdt, name="conv_out")(x)
-        return jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
+        out = jnp.transpose(x, (0, 3, 1, 2))  # NHWC -> NCHW
+        if return_deep:
+            return out, deep
+        return out

@@ -18,7 +18,7 @@ flash when Mosaic runs natively; otherwise chunked when this call's fp32
 score tensor would exceed a chunk threshold; otherwise monolithic XLA.
 
 The threshold is remat-aware, from the v5e measurements
-(outputs/measure_r3.json, docs/performance.md):
+(tools/measure_r3.py, 2026-08-17, docs/performance.md):
 
 * **no remat** -> 64 MB: chunk every latent self-attention site, keep the
   77-token cross-attention monolithic.  All-chunked measured 10.6% faster

@@ -35,7 +35,7 @@ DEFAULT_CHUNK = 512
 
 def _default_chunk() -> int:
     """Query-chunk size (rows per scan step).  ``DEFAULT_CHUNK`` is the
-    measured default (v5e sweep, outputs/measure_r3.json);
+    measured default (v5e sweep, tools/measure_r3.py, 2026-08-17);
     ``SDXL_TPU_ATTN_QCHUNK`` overrides for A/B measurement."""
     try:
         return int(os.environ.get("SDXL_TPU_ATTN_QCHUNK", DEFAULT_CHUNK))

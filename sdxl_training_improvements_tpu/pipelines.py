@@ -30,7 +30,8 @@ from sdxl_training_improvements_tpu.training.validation import (
 class SDXLPipeline:
     def __init__(self, model: SDXLModel, tokenizers: TokenizerPair,
                  schedule: Optional[NoiseSchedule] = None,
-                 method: str = "ddpm", mesh=None, sampler: str = "euler"):
+                 method: str = "ddpm", mesh=None, sampler: str = "euler",
+                 deep_cache: int = 1):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule or NoiseSchedule.create()
@@ -43,6 +44,9 @@ class SDXLPipeline:
         # walk) or "dpmpp_2m" (2nd-order multistep, ~half the steps for
         # the same quality — use num_inference_steps ~12-15)
         self.sampler = sampler
+        # DeepCache interval: refresh the deep UNet feature every k steps,
+        # run only the shallow stages between (1 = off)
+        self.deep_cache = deep_cache
 
     @staticmethod
     def declared_method(model_dir) -> Optional[str]:
@@ -122,7 +126,8 @@ class SDXLPipeline:
     def from_pretrained(cls, model_dir, tiny: bool = False,
                         schedule: Optional[NoiseSchedule] = None,
                         method: Optional[str] = None,
-                        mesh=None, sampler: str = "euler") -> "SDXLPipeline":
+                        mesh=None, sampler: str = "euler",
+                        deep_cache: int = 1) -> "SDXLPipeline":
         """``method=None`` auto-detects from the checkpoint's config.json —
         a flow-matching-trained checkpoint must not be sampled through the
         sigma-space ZTSNR sampler (and vice versa).  The UNet topology and
@@ -166,17 +171,27 @@ class SDXLPipeline:
             raise FileNotFoundError(
                 f"checkpoint at {model_dir} missing components: {missing}")
         return cls(model,
-                   load_tokenizers(Path(model_dir), single_encoder=refiner),
-                   schedule, method=method, mesh=mesh, sampler=sampler)
+                   load_tokenizers(
+                       Path(model_dir), single_encoder=refiner,
+                       fallback_vocab_size=model.clip_g.cfg.vocab_size),
+                   schedule, method=method, mesh=mesh, sampler=sampler,
+                   deep_cache=deep_cache)
 
     @classmethod
     def from_model(cls, model: SDXLModel,
                    tokenizers: Optional[TokenizerPair] = None,
                    schedule: Optional[NoiseSchedule] = None,
                    method: str = "ddpm", mesh=None,
-                   sampler: str = "euler") -> "SDXLPipeline":
-        return cls(model, tokenizers or TokenizerPair.fallback(), schedule,
-                   method=method, mesh=mesh, sampler=sampler)
+                   sampler: str = "euler",
+                   deep_cache: int = 1) -> "SDXLPipeline":
+        if tokenizers is None:
+            # the hash fallback must match THIS model's vocab — oversized
+            # ids gather NaN embeddings (nn.Embed's jnp.take fill mode)
+            tokenizers = TokenizerPair.fallback(
+                vocab_size=model.clip_g.cfg.vocab_size)
+        return cls(model, tokenizers, schedule,
+                   method=method, mesh=mesh, sampler=sampler,
+                   deep_cache=deep_cache)
 
     # ----------------------------------------------------------- internals
     def _sampler(self, num_inference_steps: int,
@@ -186,7 +201,8 @@ class SDXLPipeline:
                                  num_inference_steps=num_inference_steps,
                                  guidance_scale=guidance_scale,
                                  method=self.method, mesh=self.mesh,
-                                 sampler=self.sampler)
+                                 sampler=self.sampler,
+                                 deep_cache_interval=self.deep_cache)
 
     def _encode_pixels(self, images: Sequence[np.ndarray], height: int,
                        width: int, key) -> "jax.Array":

@@ -220,10 +220,15 @@ class SDXLTrainer:
         local = Path(self.config.model.pretrained_model_name)
         single = self.model.clip_l is None  # refiner: CLIP-G only
         if local.exists():
-            return load_tokenizers(local,
-                                   self.config.data.tokenizer_max_length,
-                                   single_encoder=single)
+            return load_tokenizers(
+                local, self.config.data.tokenizer_max_length,
+                single_encoder=single,
+                fallback_vocab_size=self.model.clip_g.cfg.vocab_size)
+        # hash fallback sized to the model's vocab: oversized ids gather
+        # NaN embeddings (nn.Embed's jnp.take fill mode) that the loss
+        # finite-guard would mask into a constant 1000.0
         return TokenizerPair.fallback(
+            vocab_size=self.model.clip_g.cfg.vocab_size,
             max_length=self.config.data.tokenizer_max_length)
 
     # ---------------------------------------------------------------- data

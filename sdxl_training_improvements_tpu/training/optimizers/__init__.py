@@ -54,7 +54,7 @@ def resolve_flat_state(tpu_cfg) -> bool:
 
     "auto" resolves to OFF: flat packing was implemented and measured at
     full 2.567B-param scale and LOST — ~500 ms vs 141.5 ms per-leaf on v5e
-    (outputs/measure_r3.json; docs/performance.md) because ravelling TPU
+    (tools/measure_r3.py, 2026-08-17; docs/performance.md) because ravelling TPU
     tiled layouts into 1-D buffers forces relayout copies that swamp the
     dispatch savings.  The option stays for A/B measurement ("on") and is
     rejected under model sharding either way (per-leaf state is what the

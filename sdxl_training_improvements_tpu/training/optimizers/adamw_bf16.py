@@ -376,7 +376,7 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
 
     # ============================================================== hybrid
     # Small bf16 leaves (< hybrid_threshold elements) pack into ONE flat
-    # buffer; big leaves stay per-leaf.  Rationale (outputs/measure_r3.json):
+    # buffer; big leaves stay per-leaf.  Rationale (tools/measure_r3.py, 2026-08-17):
     # full flat packing measured ~500 ms at SDXL scale because ravelling
     # the BIG tiled conv/matmul leaves forces relayout copies — but 984 of
     # the UNet's 1680 leaves hold only 1.85% of the parameters, so packing

@@ -249,14 +249,33 @@ def make_denoised_fn(model_fn, schedule: NoiseSchedule):
     Shared by every sigma-space sampler (Euler, DPM-Solver++); all of them
     step on D, differing only in the integration rule.
     """
+    aux_fn = _make_aux_denoised_fn(_wrap_aux(model_fn, False), schedule)
+    return lambda x, sigma: aux_fn(x, sigma, None)[0]
+
+
+def _wrap_aux(model_fn, has_aux: bool):
+    """Normalize a sampler model_fn to the aux-threading form
+    ``(x, sigma, aux) -> (out, aux)``.
+
+    ``has_aux=False`` is the plain stateless closure; ``has_aux=True`` is
+    the stateful form used by per-step caches carried through the sampler
+    scan (DeepCache: aux = (step_index, deep_feature))."""
+    if has_aux:
+        return model_fn
+    return lambda x, sigma, aux: (model_fn(x, sigma), aux)
+
+
+def _make_aux_denoised_fn(aux_model_fn, schedule: NoiseSchedule):
     if schedule.prediction_type == "epsilon":
-        def denoised(x, sigma):
-            return x - sigma * model_fn(x, sigma)
+        def denoised(x, sigma, aux):
+            f, aux = aux_model_fn(x, sigma, aux)
+            return x - sigma * f, aux
         return denoised
 
-    def denoised(x, sigma):
+    def denoised(x, sigma, aux):
         c_skip, c_out, c_in = karras_scalings(sigma, schedule.sigma_data)
-        return c_skip * x + c_out * model_fn(c_in * x, sigma)
+        f, aux = aux_model_fn(c_in * x, sigma, aux)
+        return c_skip * x + c_out * f, aux
     return denoised
 
 def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
@@ -264,7 +283,8 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
                  init: Optional[jnp.ndarray] = None,
                  strength: float = 1.0,
                  denoising_start: Optional[float] = None,
-                 denoising_end: Optional[float] = None) -> jnp.ndarray:
+                 denoising_end: Optional[float] = None,
+                 aux0=None) -> jnp.ndarray:
     """Karras-Euler sampler, dispatched on the schedule's prediction type.
 
     v_prediction (the NovelAI-V3 recipe): reference semantics
@@ -303,6 +323,11 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
     as ALREADY-NOISY latents at ramp index round(s*(num_steps-1)) (no noise
     is added) and walks the rest.  Both stages must sample the same ramp
     (same num_steps / sigma range / rho) for the sigma levels to line up.
+
+    ``aux0``: opt-in per-step state carried through the sampler's scan —
+    when given, ``model_fn(x, sigma, aux) -> (out, aux)`` (the DeepCache
+    carry in ``ValidationSampler``); when None, ``model_fn(x, sigma)`` as
+    before.
     """
     if not 0.0 < strength <= 1.0:
         raise ValueError(f"strength must be in (0, 1], got {strength}")
@@ -331,6 +356,8 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
             raise ValueError(f"denoising_end in (0,1]: {denoising_end}")
         i_end = max(i0 + 1, int(round(denoising_end * (num_steps - 1))) + 1)
     n = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+    fn = _wrap_aux(model_fn, aux0 is not None)
+    aux = aux0
 
     if schedule.prediction_type == "epsilon":
         ramp = jnp.append(sigmas, 0.0)
@@ -341,21 +368,22 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
         else:
             x = init.astype(jnp.float32) + ramp[i0] * n
 
-        def euler_step_eps(x, sigma_pair):
+        def euler_step_eps(carry, sigma_pair):
+            x, aux = carry
             sigma_i, sigma_next = sigma_pair
-            d = model_fn(x, sigma_i)  # = eps_hat = (x - D)/sigma
-            return x + (sigma_next - sigma_i) * d, None
+            d, aux = fn(x, sigma_i, aux)  # d = eps_hat = (x - D)/sigma
+            return (x + (sigma_next - sigma_i) * d, aux), None
 
         hi = (len(ramp) if denoising_end is None or denoising_end >= 1.0
               else i_end)
         pairs = jnp.stack([ramp[i0:hi - 1], ramp[i0 + 1:hi]], axis=1)
-        x, _ = jax.lax.scan(euler_step_eps, x, pairs)
+        (x, _), _ = jax.lax.scan(euler_step_eps, (x, aux), pairs)
         return x
 
     if init is None:
         # pure generation: the ZTSNR infinite-sigma first step
-        x = (sigmas[0] * n
-             - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf)))
+        f0, aux = fn(n, jnp.float32(jnp.inf), aux)
+        x = sigmas[0] * n - schedule.sigma_data * f0
     elif noisy_init:
         x = init.astype(jnp.float32)
     else:
@@ -364,15 +392,17 @@ def sample_ztsnr(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
         if schedule.use_ztsnr:
             x = jnp.clip(x, -ZTSNR_SIGMA_MAX, ZTSNR_SIGMA_MAX)
 
-    def euler_step(x, sigma_pair):
+    def euler_step(carry, sigma_pair):
+        x, aux = carry
         sigma_i, sigma_next = sigma_pair
         c_skip, c_out, c_in = karras_scalings(sigma_i, schedule.sigma_data)
-        denoised = c_skip * x + c_out * model_fn(c_in * x, sigma_i)
+        f, aux = fn(c_in * x, sigma_i, aux)
+        denoised = c_skip * x + c_out * f
         d = (x - denoised) / sigma_i
-        return x + (sigma_next - sigma_i) * d, None
+        return (x + (sigma_next - sigma_i) * d, aux), None
 
     pairs = jnp.stack([sigmas[i0:i_end - 1], sigmas[i0 + 1:i_end]], axis=1)
-    x, _ = jax.lax.scan(euler_step, x, pairs)
+    (x, _), _ = jax.lax.scan(euler_step, (x, aux), pairs)
     return x
 
 
@@ -381,7 +411,8 @@ def sample_dpmpp_2m(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
                     init: Optional[jnp.ndarray] = None,
                     strength: float = 1.0,
                     denoising_start: Optional[float] = None,
-                    denoising_end: Optional[float] = None) -> jnp.ndarray:
+                    denoising_end: Optional[float] = None,
+                    aux0=None) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep sampler in log-sigma space
     (Lu et al., arXiv 2211.01095; the k-diffusion ``sample_dpmpp_2m``
     update rule).  Produces Euler-28-step quality in ~12-15 steps — a ~2x
@@ -434,13 +465,15 @@ def sample_dpmpp_2m(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
                         int(round(denoising_end * (num_steps - 1))) + 1)
 
     n = jax.random.normal(key, latent_shape, dtype=jnp.float32)
+    fn = _wrap_aux(model_fn, aux0 is not None)
+    aux = aux0
     if init is None:
         if eps_mode:
             x = ramp[0] * n
         else:
             # ZTSNR infinite-sigma first step, exactly as the Euler sampler
-            x = (sigmas[0] * n
-                 - schedule.sigma_data * model_fn(n, jnp.float32(jnp.inf)))
+            f0, aux = fn(n, jnp.float32(jnp.inf), aux)
+            x = sigmas[0] * n - schedule.sigma_data * f0
     elif noisy_init:
         x = init.astype(jnp.float32)
     else:
@@ -448,15 +481,15 @@ def sample_dpmpp_2m(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
         if schedule.use_ztsnr and not eps_mode:
             x = jnp.clip(x, -ZTSNR_SIGMA_MAX, ZTSNR_SIGMA_MAX)
 
-    denoise = make_denoised_fn(model_fn, schedule)
+    denoise = _make_aux_denoised_fn(fn, schedule)
 
     def lam(sigma):  # lambda = -ln sigma, with a terminal-0 guard
         return -jnp.log(jnp.maximum(sigma, 1e-20))
 
     def step(carry, sigma_pair):
-        x, old_d, h_prev, first = carry
+        x, aux, old_d, h_prev, first = carry
         sigma_i, sigma_next = sigma_pair
-        d = denoise(x, sigma_i)
+        d, aux = denoise(x, sigma_i, aux)
         h = lam(sigma_next) - lam(sigma_i)
         # first step and terminal sigma=0 step fall back to first order
         # (h -> inf there, so the 2M correction is undefined)
@@ -467,12 +500,12 @@ def sample_dpmpp_2m(model_fn, key: jax.Array, latent_shape: Tuple[int, ...],
         dt = jnp.where(use_first, d, d2)
         ratio = jnp.where(sigma_next <= 0.0, 0.0, sigma_next / sigma_i)
         x = ratio * x - jnp.expm1(-h) * dt
-        return (x, d, h, jnp.zeros_like(first)), None
+        return (x, aux, d, h, jnp.zeros_like(first)), None
 
     pairs = jnp.stack([ramp[i0:i_end - 1], ramp[i0 + 1:i_end]], axis=1)
     first = jnp.asarray(True)
-    (x, _, _, _), _ = jax.lax.scan(
-        step, (x, jnp.zeros_like(x), jnp.float32(1.0), first), pairs)
+    (x, _, _, _, _), _ = jax.lax.scan(
+        step, (x, aux, jnp.zeros_like(x), jnp.float32(1.0), first), pairs)
     return x
 
 

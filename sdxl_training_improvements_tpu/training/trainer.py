@@ -70,7 +70,7 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
     non-finite loss clamp remain micro-batch-scoped).  A small micro-batch
     runs without remat on small-HBM chips (269.3 vs 370 ms/sample for the
     reference's b4 x accum4 @1024^2 workload on a 16 GB v5e,
-    outputs/measure_r3.json).
+    tools/measure_r3.py, 2026-08-17).
     """
     loss_fn = get_method(config.training.method)
     accum = max(1, config.training.gradient_accumulation_steps)

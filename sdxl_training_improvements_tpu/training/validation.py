@@ -44,7 +44,8 @@ class ValidationSampler:
 
     def __init__(self, model, tokenizers, schedule: S.NoiseSchedule,
                  num_inference_steps: int = 28, guidance_scale: float = 5.0,
-                 method: str = "ddpm", mesh=None, sampler: str = "euler"):
+                 method: str = "ddpm", mesh=None, sampler: str = "euler",
+                 deep_cache_interval: int = 1):
         self.model = model
         self.tokenizers = tokenizers
         self.schedule = schedule
@@ -69,6 +70,17 @@ class ValidationSampler:
         # reference-parity ZTSNR Karras-Euler; "dpmpp_2m" reaches the same
         # quality in ~half the steps (schedules.sample_dpmpp_2m)
         self.sampler = sampler
+        # DeepCache (arXiv 2312.00858): refresh the UNet's deep feature
+        # every k steps and run only conv_in + stage 0 + the last up stage
+        # on the k-1 steps between (~90% of SDXL's FLOPs skipped on cached
+        # steps).  1 = off (every step is a full forward).
+        if deep_cache_interval < 1:
+            raise ValueError(
+                f"deep_cache_interval must be >= 1, got {deep_cache_interval}")
+        if deep_cache_interval > 1 and method == "flow_matching":
+            raise ValueError(
+                "deep_cache is wired for the sigma-space samplers only")
+        self.deep_cache_interval = deep_cache_interval
         # mesh-parallel serving: megatron-TP the UNet over the tensor axis
         # (the training TP_RULES apply unchanged) and shard the CFG-stacked
         # batch over data x fsdp; XLA inserts the collectives.  None =
@@ -130,6 +142,58 @@ class ValidationSampler:
             return uncond + guidance * (cond - uncond)
 
         return fn
+
+    def _cached_denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
+                         extra=None):
+        """DeepCache variant of ``_denoiser``: aux-threading model_fn
+        ``(x, sigma, (step, deep)) -> (cfg_pred, (step+1, deep'))``.
+
+        Steps where ``step % interval == 0`` run the full UNet and refresh
+        the deep feature; the others run only the shallow stages around the
+        cached one (``SDXLUNet.__call__`` deep_cache/return_deep).  The
+        carry rides the sampler scan (``sample_ztsnr``/``sample_dpmpp_2m``
+        ``aux0=``)."""
+        sigmas = self.schedule.sigmas
+        guidance = self.guidance_scale
+        k = self.deep_cache_interval
+
+        def fn(x, sigma, aux):
+            step_i, deep = aux
+            t_idx = jnp.argmin(jnp.abs(
+                jnp.log(jnp.maximum(sigmas, 1e-8))
+                - jnp.log(jnp.maximum(sigma, 1e-8))))
+            b = x.shape[0]
+            t = jnp.full((2 * b,), t_idx, jnp.int32)
+            x2 = jnp.concatenate([x, x], axis=0)
+            if extra is not None:
+                x2 = jnp.concatenate([x2, extra.astype(x2.dtype)], axis=1)
+            x2 = self._bshard(x2)
+
+            def full(_):
+                return self.model.unet_apply(
+                    unet_params, x2, t, prompt_embeds, pooled, time_ids,
+                    return_deep=True)
+
+            def shallow(d):
+                return (self.model.unet_apply(
+                    unet_params, x2, t, prompt_embeds, pooled, time_ids,
+                    deep_cache=d), d)
+
+            pred, deep = jax.lax.cond(step_i % k == 0, full, shallow, deep)
+            uncond, cond = jnp.split(pred.astype(jnp.float32), 2, axis=0)
+            return (uncond + guidance * (cond - uncond),
+                    (step_i + 1, deep))
+
+        return fn
+
+    def _deep_cache_aux0(self, n: int, height: int, width: int):
+        """Initial (step, deep) carry: step 0 always refreshes, so the
+        zeros placeholder is never consumed."""
+        f = self.model.vae.config.downscale_factor
+        deep_ch = self.model.unet_config.block_out_channels[1]
+        deep = jnp.zeros((2 * n, height // f, width // f, deep_ch),
+                         self.model.unet.dtype)
+        return (jnp.asarray(0, jnp.int32), deep)
 
     def _flow_denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
                        extra=None):
@@ -242,15 +306,21 @@ class ValidationSampler:
                                     num_steps=self.num_inference_steps,
                                     init=init_latents, strength=strength)
         else:
-            model_fn = self._denoiser(unet_params, pe, pooled, time_ids,
-                                      extra=extra)
+            aux0 = None
+            if self.deep_cache_interval > 1:
+                model_fn = self._cached_denoiser(unet_params, pe, pooled,
+                                                 time_ids, extra=extra)
+                aux0 = self._deep_cache_aux0(n, height, width)
+            else:
+                model_fn = self._denoiser(unet_params, pe, pooled, time_ids,
+                                          extra=extra)
             sample = (S.sample_dpmpp_2m if self.sampler == "dpmpp_2m"
                       else S.sample_ztsnr)
             latents = sample(model_fn, key, lat_shape, self.schedule,
                              num_steps=self.num_inference_steps,
                              init=init_latents, strength=strength,
                              denoising_start=denoising_start,
-                             denoising_end=denoising_end)
+                             denoising_end=denoising_end, aux0=aux0)
         if return_latents:
             return latents
         decoded = self.model.decode_latents(latents.astype(jnp.float32))

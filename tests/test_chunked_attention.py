@@ -104,7 +104,7 @@ class TestDispatch:
         monkeypatch.delenv("SDXL_TPU_ATTN_CHUNK_MB", raising=False)
         # every latent self-attention site resolves chunked (64 MB
         # default threshold; all-chunked measured 10.6% faster than
-        # all-monolithic at b1 @1024^2, outputs/measure_r3.json):
+        # all-monolithic at b1 @1024^2, tools/measure_r3.py, 2026-08-17):
         # b1 @1024^2 640-ch stage: [1,10,4096,4096] fp32 = 640 MB
         assert attention.resolve_impl(
             "auto", 1, 4096, 4096, 10) == "chunked"
@@ -123,7 +123,7 @@ class TestDispatch:
         """Under remat the UNet passes chunk_mb=512 (chunked's VJP pays a
         second recompute on top of remat's, so monolithic wins where the
         probs transient is affordable — b4 @1024^2 dots_small: 1483 ms at
-        512 MB vs 1538 ms all-chunked, outputs/measure_r3.json)."""
+        512 MB vs 1538 ms all-chunked, tools/measure_r3.py, 2026-08-17)."""
         monkeypatch.delenv("SDXL_TPU_ATTN_CHUNK_MB", raising=False)
         # b4 64^2 stage: 2.5 GB -> still chunked even at 512 MB
         assert attention.resolve_impl(

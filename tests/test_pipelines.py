@@ -287,6 +287,62 @@ class TestDpmppRouting:
         assert args.sampler == "dpmpp_2m"
 
 
+class TestDeepCache:
+    def test_single_call_walk_matches_uncached_exactly(self, base_model):
+        """An eps schedule with num_inference_steps=1 makes exactly one
+        model call — step 0, which the cached path always runs FULL — so
+        deep_cache=3 must reproduce the uncached latents bit-exactly
+        (proves the cond/full branch wiring, independent of the
+        approximation)."""
+        eps_sched = S.NoiseSchedule.create(
+            num_timesteps=50, use_ztsnr=False, sigma_max=80.0,
+            prediction_type="epsilon")
+        outs = {}
+        for k in (1, 3):
+            pipe = SDXLPipeline.from_model(base_model, schedule=eps_sched,
+                                           deep_cache=k)
+            outs[k] = np.asarray(pipe(["x"], height=32, width=32,
+                                      num_inference_steps=1,
+                                      return_latents=True))
+        np.testing.assert_array_equal(outs[1], outs[3])
+
+    def test_cached_walk_runs_and_approximates(self, base_model):
+        pipe_off = SDXLPipeline.from_model(base_model)
+        pipe_on = SDXLPipeline.from_model(base_model, deep_cache=2)
+        a = np.asarray(pipe_off(["x"], height=32, width=32,
+                                num_inference_steps=4, return_latents=True))
+        b = np.asarray(pipe_on(["x"], height=32, width=32,
+                               num_inference_steps=4, return_latents=True))
+        assert np.isfinite(b).all()
+        assert not np.array_equal(a, b)  # the shallow steps do differ
+
+    def test_dpmpp_with_deep_cache(self, base_model):
+        pipe = SDXLPipeline.from_model(base_model, sampler="dpmpp_2m",
+                                       deep_cache=2)
+        img = pipe(["x"], height=32, width=32, num_inference_steps=4)[0]
+        assert img.shape == (32, 32, 3)
+
+    def test_validation(self, base_model):
+        from sdxl_training_improvements_tpu.models.tokenizer import (
+            TokenizerPair)
+        from sdxl_training_improvements_tpu.training.validation import (
+            ValidationSampler)
+        with pytest.raises(ValueError, match="deep_cache_interval"):
+            ValidationSampler(base_model, TokenizerPair.fallback(),
+                              S.NoiseSchedule.create(),
+                              deep_cache_interval=0)
+        with pytest.raises(ValueError, match="sigma-space"):
+            ValidationSampler(base_model, TokenizerPair.fallback(),
+                              S.NoiseSchedule.create(),
+                              method="flow_matching", deep_cache_interval=2)
+
+    def test_cli_flag(self):
+        from sdxl_training_improvements_tpu.generate import build_parser
+        args = build_parser().parse_args(
+            ["--model", "m", "--prompt", "p", "--deep-cache", "3"])
+        assert args.deep_cache == 3
+
+
 class TestVariantCheckpointLoading:
     def test_export_writes_unet_config(self, base_model, tmp_path):
         from sdxl_training_improvements_tpu.training.checkpoints import (

@@ -262,3 +262,64 @@ def test_from_diffusers_config_overrides_and_errors():
     with _pytest.raises(ValueError, match="num_time_ids"):
         UNetConfig.from_diffusers_config(
             dict(base, projection_class_embeddings_input_dim=2817))
+
+
+class TestDeepCacheSplit:
+    """The DeepCache split contract (SDXLUNet deep_cache/return_deep):
+    injecting the TRUE deep feature must reproduce the full forward
+    bit-exactly — the shallow path runs the identical stage-0/last-stage
+    ops, so any divergence is a wiring bug, not an approximation."""
+
+    def _io(self, cfg, seed=0):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        b = 2
+        return (rng.standard_normal((b, cfg.in_channels, 16, 16)
+                                    ).astype(np.float32),
+                np.array([3.0, 700.0], np.float32),
+                rng.standard_normal((b, 77, cfg.cross_attention_dim)
+                                    ).astype(np.float32),
+                rng.standard_normal((b, cfg.pooled_embed_dim)
+                                    ).astype(np.float32),
+                np.array([[512, 512, 0, 0, 512, 512][:cfg.num_time_ids]] * b,
+                         np.float32))
+
+    def test_shallow_with_true_deep_is_exact(self):
+        cfg = UNetConfig.tiny()
+        m = SDXLUNet(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        s, t, e, p, ti = self._io(cfg)
+        params = m.init(jax.random.key(0), s, t, e, p, ti)
+        full = m.apply(params, s, t, e, p, ti)
+        out2, deep = m.apply(params, s, t, e, p, ti, return_deep=True)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(out2))
+        # deep feature: full latent resolution, channels of stage 1
+        assert deep.shape == (2, 16, 16, cfg.block_out_channels[1])
+        shallow = m.apply(params, s, t, e, p, ti, deep_cache=deep)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(shallow))
+
+    def test_refiner_topology_split(self):
+        """4-stage variant (plain last stage): the split generalises."""
+        cfg = UNetConfig(
+            block_out_channels=(16, 32, 64, 64), layers_per_block=1,
+            transformer_layers_per_block=(0, 1, 1, 0),
+            mid_block_transformer_layers=1, attention_head_dim=8,
+            cross_attention_dim=32, addition_time_embed_dim=4,
+            projection_class_embeddings_input_dim=24 + 5 * 4,
+            num_time_ids=5, norm_num_groups=8, remat=False, attn_impl="xla")
+        m = SDXLUNet(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        s, t, e, p, ti = self._io(cfg, seed=3)
+        params = m.init(jax.random.key(1), s, t, e, p, ti)
+        full, deep = m.apply(params, s, t, e, p, ti, return_deep=True)
+        assert deep.shape == (2, 16, 16, cfg.block_out_channels[1])
+        shallow = m.apply(params, s, t, e, p, ti, deep_cache=deep)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(shallow))
+
+    def test_deep_cache_excludes_return_deep(self):
+        cfg = UNetConfig.tiny()
+        m = SDXLUNet(config=cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        s, t, e, p, ti = self._io(cfg)
+        params = m.init(jax.random.key(0), s, t, e, p, ti)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="deep_cache"):
+            m.apply(params, s, t, e, p, ti,
+                    deep_cache=jnp.zeros((2, 16, 16, 64)), return_deep=True)

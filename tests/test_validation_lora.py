@@ -265,7 +265,7 @@ class TestNegativePrompts:
             TokenizerPair)
         from sdxl_training_improvements_tpu.training.schedules import (
             NoiseSchedule)
-        sampler = ValidationSampler(model, TokenizerPair.fallback(),
+        sampler = ValidationSampler(model, TokenizerPair.fallback(vocab_size=1000),
                                     NoiseSchedule.create(),
                                     num_inference_steps=3)
         imgs_a = sampler.generate(model.params["unet"], ["a cat"],
@@ -277,8 +277,8 @@ class TestNegativePrompts:
         # the negative prompt must change the unconditional CFG rows
         # (check at the denoiser level — the tiny random VAE decodes
         # everything to near-gray, so uint8 images can't discriminate)
-        ids_pos, ids_pos_g = TokenizerPair.fallback()(["a cat", ""])
-        ids_neg, ids_neg_g = TokenizerPair.fallback()(
+        ids_pos, ids_pos_g = TokenizerPair.fallback(vocab_size=1000)(["a cat", ""])
+        ids_neg, ids_neg_g = TokenizerPair.fallback(vocab_size=1000)(
             ["a cat", "blurry, low quality"])
         enc_pos = model.encode_prompt(jnp.asarray(ids_pos),
                                       jnp.asarray(ids_pos_g))
@@ -303,10 +303,10 @@ class TestMeshServing:
         from sdxl_training_improvements_tpu.parallel import mesh as M
         sched = NoiseSchedule.create(num_timesteps=50)
         kwargs = dict(num_inference_steps=3, guidance_scale=3.0)
-        single = ValidationSampler(model, TokenizerPair.fallback(), sched,
+        single = ValidationSampler(model, TokenizerPair.fallback(vocab_size=1000), sched,
                                    **kwargs)
         mesh = M.create_mesh((2, 2, 2))
-        sharded = ValidationSampler(model, TokenizerPair.fallback(), sched,
+        sharded = ValidationSampler(model, TokenizerPair.fallback(vocab_size=1000), sched,
                                     mesh=mesh, **kwargs)
         prompts = ["a cat", "a dog"]  # CFG stack 4 rows = data x fsdp
         a = single.generate(model.params["unet"], prompts, jax.random.key(0),
@@ -322,7 +322,7 @@ class TestMeshServing:
     def test_mesh_flow_sampler_runs(self, model):
         from sdxl_training_improvements_tpu.parallel import mesh as M
         mesh = M.create_mesh((2, 2, 2))
-        sampler = ValidationSampler(model, TokenizerPair.fallback(),
+        sampler = ValidationSampler(model, TokenizerPair.fallback(vocab_size=1000),
                                     NoiseSchedule.create(),
                                     num_inference_steps=3,
                                     method="flow_matching", mesh=mesh)
@@ -344,7 +344,7 @@ class TestMeshServing:
         must no-op (not crash) and sampling still succeeds."""
         from sdxl_training_improvements_tpu.parallel import mesh as M
         mesh = M.create_mesh((2, 2, 2))
-        sampler = ValidationSampler(model, TokenizerPair.fallback(),
+        sampler = ValidationSampler(model, TokenizerPair.fallback(vocab_size=1000),
                                     NoiseSchedule.create(),
                                     num_inference_steps=2, mesh=mesh)
         imgs = sampler.generate(model.params["unet"], ["solo"],

@@ -223,7 +223,7 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
 
     # production default: per-leaf state + fused hash noise (the measured
     # winner: 127ms vs 141.5ms rbg; flat/stacked packings measured slower —
-    # TPU tiled-layout relayouts / stack copies; outputs/measure_r3.json)
+    # TPU tiled-layout relayouts / stack copies; tools/measure_r3.py, 2026-08-17)
     opt = (make_opt() if make_opt is not None
            else adamw_bf16(lr=4e-7, weight_decay=0.01, noise="hash"))
     total_sec = 0.0
@@ -366,7 +366,7 @@ def main():
 
     # The reference's default workload is batch 4 x grad-accum 4 @1024^2
     # (``config.yaml:26-33``) — effective batch 16.  Measured compositions
-    # (outputs/measure_r3.json):
+    # (tools/measure_r3.py, 2026-08-17):
     # * micro-batch 1 x accum 16 (tpu.micro_batch_size=1): sample-identical
     #   gradients over the same 16 samples (equal up to fp32 summation
     #   order), runs WITHOUT remat — 273.5 ms/sample, the production

@@ -118,9 +118,9 @@ def _gn_apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, o_ref,
     x = x_ref[0].astype(jnp.float32)  # [Sc, C]
     sc, c = x.shape
     m = _group_matrix(c, num_groups)
-    mean_c = jnp.dot(mean_ref[:], m.T,
+    mean_c = jnp.dot(mean_ref[0], m.T,
                      preferred_element_type=jnp.float32)  # [1, C]
-    rstd_c = jnp.dot(rstd_ref[:], m.T,
+    rstd_c = jnp.dot(rstd_ref[0], m.T,
                      preferred_element_type=jnp.float32)
     y = (x - mean_c) * rstd_c * scale_ref[:].astype(jnp.float32) \
         + bias_ref[:].astype(jnp.float32)
@@ -148,16 +148,21 @@ def _gn_silu_pallas_chunked(x, scale, bias, num_groups: int, eps: float,
     )(x)
     total = jnp.sum(sums, axis=1)  # [B, 2, G]
     n = jnp.float32(s * (c // g))
-    mean = total[:, 0] / n
-    var = total[:, 1] / n - jnp.square(mean)
-    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    # stats are carried as [B, 1, G] so the per-image block (1, 1, G) always
+    # EQUALS the array's trailing dims: Mosaic requires the last two block
+    # dims be (divisible by 8, divisible by 128) or equal to the array's —
+    # a [B, G] layout with block (1, G) only lowers when B == 1 (the CFG
+    # batch-2 serving path hit exactly this on real TPU hardware)
+    mean = (total[:, 0] / n)[:, None]
+    var = total[:, 1] / n - jnp.square(total[:, 0] / n)
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)[:, None]
     return pl.pallas_call(
         functools.partial(_gn_apply_kernel, num_groups=g),
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, sc, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, g), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, g), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, g), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, g), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((c,), lambda i, j: (0,)),
             pl.BlockSpec((c,), lambda i, j: (0,)),
         ],

@@ -8,8 +8,10 @@ reference fine-tunes (loaded at ``src/models/sdxl.py:25-31``; called with
 * NHWC activations everywhere (TPU conv layout); the NCHW boundary transpose
   happens in ``__call__``.
 * bf16 params/compute with fp32 norms and fp32 softmax via the dtype policy.
-* Attention dispatches per shape + hardware probe: Pallas flash kernel,
-  bounded-memory chunked XLA, or monolithic XLA (``ops/attention.py``).
+* Attention dispatches per shape: bounded-memory chunked XLA for large
+  score tensors, monolithic XLA otherwise; the Pallas flash kernel is
+  explicit opt-in after it measured no faster fwd+bwd on native v5e
+  (``ops/attention.py``).
 * Optional ``remat`` checkpoints every resnet/transformer block —
   the TPU analogue of the reference's ``enable_gradient_checkpointing``
   (``flow_matching_trainer.py:59-66``).

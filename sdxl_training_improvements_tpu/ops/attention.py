@@ -12,10 +12,17 @@ implementations behind one dispatcher:
 * ``xla``     — the monolithic reference path below, fastest when the score
   tensor comfortably fits (it is the numerics oracle for the other two).
 
-``impl="auto"`` (the default everywhere) picks per call site, using static
-shape information and the Mosaic auto-probe (``ops/probe.py``):
-flash when Mosaic runs natively; otherwise chunked when this call's fp32
-score tensor would exceed a chunk threshold; otherwise monolithic XLA.
+``impl="auto"`` (the default everywhere) picks per call site from static
+shape information: chunked when this call's fp32 score tensor would exceed
+a chunk threshold, monolithic XLA otherwise.  ``auto`` deliberately does
+NOT promote to flash even when the Mosaic auto-probe reports native
+execution: measured on a real v5e (tools/measure_r3.py, 2026-08-18,
+batch 1 @1024^2 fwd+bwd, no remat), flash TIES the chunked XLA path
+without fused GroupNorm (269.4 vs 269.3 ms) and LOSES with it
+(309.9 vs 259.6 ms) — the flash backward recomputes the row softmax while
+XLA's chunked VJP schedule overlaps better with the surrounding convs.
+Flash remains available explicitly (``attn_impl="flash"`` or
+``SDXL_TPU_FLASH=1``) for fwd-only serving shapes where it can win.
 
 The threshold is remat-aware, from the v5e measurements
 (tools/measure_r3.py, 2026-08-17, docs/performance.md):
@@ -104,7 +111,10 @@ def resolve_impl(impl: str, b: int, s: int, t: int, h: int,
         raise ValueError(f"Unknown attention impl {impl!r}; one of {IMPLS}")
     if impl != "auto":
         return impl
-    if _flash_available():
+    # Only an explicit SDXL_TPU_FLASH=1 promotes "auto" to flash: on native
+    # v5e the flash training step measured no faster than chunked XLA (tie
+    # at 269 ms GN-off, 50 ms SLOWER with fused GN on; module docstring).
+    if os.environ.get("SDXL_TPU_FLASH") == "1" and _flash_available():
         return "flash"
     score_bytes = 4 * b * h * s * t  # the fp32 logits/probs tensor
     if score_bytes >= _chunk_threshold_bytes(chunk_mb):

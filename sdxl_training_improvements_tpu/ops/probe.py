@@ -14,10 +14,15 @@ the verdict (in-process + a temp file keyed by device kind), so the first
 training/bench run on native hardware picks up the Pallas kernels
 automatically and a tunneled run keeps the XLA path — no intervention.
 
-Per-kernel env overrides still win (``SDXL_TPU_FLASH``, ``SDXL_TPU_FUSED_GN``,
-``SDXL_TPU_FUSED_ADAMW``: "1" forces on, "0" forces off, unset defers to the
-probe), plus a global ``SDXL_TPU_MOSAIC`` = ``native`` | ``slow`` that
-pre-empts probing entirely (also useful in CI).
+Per-kernel env overrides still win (``SDXL_TPU_FUSED_GN``: "1" forces on,
+"0" forces off, unset defers to the probe), plus a global
+``SDXL_TPU_MOSAIC`` = ``native`` | ``slow`` that pre-empts probing entirely
+(also useful in CI).  Two kernels deliberately do NOT defer to the probe,
+per the 2026-08-18 native-v5e measurements (docs/performance.md):
+``SDXL_TPU_FLASH`` promotes "auto" attention only when explicitly "1"
+(flash tied/lost to chunked XLA in training), and ``SDXL_TPU_FUSED_ADAMW``
+is explicit opt-in (the kernel measured 2.1x slower than the XLA chain).
+Probe-native alone flips only the fused GroupNorm, the one measured win.
 """
 from __future__ import annotations
 

@@ -183,6 +183,19 @@ class TestProbe:
         assert probe.kernel_enabled("SDXL_TPU_FLASH") is False
         probe.mosaic_native.cache_clear()
 
+    def test_auto_never_promotes_to_flash(self, monkeypatch):
+        """"auto" uses flash only on explicit SDXL_TPU_FLASH=1: on native
+        v5e (2026-08-18) flash tied chunked fwd+bwd GN-off (269.4 vs
+        269.3 ms) and lost GN-on (309.9 vs 259.6 ms) — probe-native alone
+        must not flip training onto it (attention.py module docstring)."""
+        monkeypatch.delenv("SDXL_TPU_ATTN_CHUNK_MB", raising=False)
+        monkeypatch.setattr(attention, "_flash_available", lambda: True)
+        monkeypatch.delenv("SDXL_TPU_FLASH", raising=False)
+        assert attention.resolve_impl("auto", 1, 4096, 4096, 10) == "chunked"
+        assert attention.resolve_impl("auto", 1, 256, 256, 8) == "xla"
+        monkeypatch.setenv("SDXL_TPU_FLASH", "1")
+        assert attention.resolve_impl("auto", 1, 4096, 4096, 10) == "flash"
+
     def test_flash_not_selected_on_cpu(self):
         attention._flash_available.cache_clear()
         try:

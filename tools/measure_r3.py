@@ -62,6 +62,13 @@ def bench_fwd_bwd_cfg(batch, remat, remat_policy, attn_impl, steps=10,
 
 
 OPT_VARIANTS = {
+    # round-3c (Mosaic NATIVE): the fused Pallas kernel auto-engages via the
+    # probe; the _xla variant forces it off for the A/B.  One variant per
+    # PROCESS (the kernel gate is lru_cached at first use).
+    "perleaf_hash_fused": dict(layout="per_leaf", noise="hash",
+                               env={"SDXL_TPU_FUSED_ADAMW": "1"}),
+    "perleaf_hash_xla": dict(layout="per_leaf", noise="hash",
+                             env={"SDXL_TPU_FUSED_ADAMW": "0"}),
     "flat_hash": dict(layout="flat", noise="hash"),
     "perleaf_hash": dict(layout="per_leaf", noise="hash"),
     "flat_rbg": dict(layout="flat", noise="rbg"),
@@ -87,7 +94,8 @@ def phase_opt(which=None):
     cfg = UNetConfig.sdxl()
     names = [which] if which else list(OPT_VARIANTS)
     for vname in names:
-        kw = OPT_VARIANTS[vname]
+        kw = dict(OPT_VARIANTS[vname])
+        os.environ.update(kw.pop("env", {}))
         name = f"opt_{vname}_ms"
         try:
             log(f"optimizer variant {name} ...")
@@ -148,6 +156,23 @@ FWD_CASES = {
     "b1_nomat_chunked_q2048_ms": dict(
         batch=1, remat=False, remat_policy="full", attn_impl="chunked",
         steps=10, warmup=3, env={"SDXL_TPU_ATTN_QCHUNK": "2048"}),
+    # round-3c: the Mosaic auto-probe flipped NATIVE on this chip
+    # (2026-08-18) — the Pallas layer is finally measurable.  Run ONE of
+    # these per process: the kernel gates (SDXL_TPU_FLASH/_FUSED_GN/
+    # _FUSED_ADAMW/_MOSAIC) are lru_cached at first use, so an in-process
+    # env swap would leak the first case's verdict into the rest.
+    "b1_nomat_native_ms": dict(  # the exact default HLO bench.py now runs
+        batch=1, remat=False, remat_policy="full", attn_impl="auto",
+        steps=10, warmup=3),
+    "b1_nomat_flash_gnoff_ms": dict(  # isolate the fused-GN contribution
+        batch=1, remat=False, remat_policy="full", attn_impl="auto",
+        steps=10, warmup=3, env={"SDXL_TPU_FUSED_GN": "0"}),
+    "b1_nomat_gn_noflash_ms": dict(  # isolate the flash contribution
+        batch=1, remat=False, remat_policy="full", attn_impl="auto",
+        steps=10, warmup=3, env={"SDXL_TPU_FLASH": "0"}),
+    "b4_nomat_native_ms": dict(  # the reference workload, no remat at all
+        batch=4, remat=False, remat_policy="full", attn_impl="auto",
+        steps=6, warmup=2),
 }
 
 
@@ -249,26 +274,44 @@ SERVING_CASES = {
     # attention dispatch.
     "serving_b2_ms": dict(batch=2, steps=10, warmup=3),
     "serving_b8_ms": dict(batch=8, steps=6, warmup=2),
+    # round-3c fwd-only kernel A/B — one case per PROCESS (kernel gates
+    # lru_cached; see FWD_CASES note).  Under the round-3c auto policy
+    # (ops/attention.py) "auto" = chunked + fused GN when Mosaic is
+    # native; flash must be requested per-case via attn=.
+    "serving_b2_flash_ms": dict(batch=2, steps=10, warmup=3, attn="flash"),
+    "serving_b2_flash_gnoff_ms": dict(batch=2, steps=10, warmup=3,
+                                      attn="flash",
+                                      env={"SDXL_TPU_FUSED_GN": "0"}),
+    "serving_b2_gnoff_ms": dict(batch=2, steps=10, warmup=3,
+                                env={"SDXL_TPU_FUSED_GN": "0"}),
+    "serving_b2_slow_ms": dict(batch=2, steps=10, warmup=3,
+                               env={"SDXL_TPU_MOSAIC": "slow"}),
 }
+
+
+def run_serving_case(name):
+    from bench import bench_serving
+    from sdxl_training_improvements_tpu.models.unet import UNetConfig
+    kw = dict(SERVING_CASES[name])
+    os.environ.update(kw.pop("env", {}))
+    cfg = UNetConfig.sdxl(remat=False, attn_impl=kw.pop("attn", "auto"))
+    try:
+        log(f"serving {name} ...")
+        t = bench_serving(cfg, 128, **kw)
+        record(name, round(t * 1e3, 1))
+        imgs = kw["batch"] / 2
+        record(name.replace("_ms", "_images_per_s_28step"),
+               round(imgs / (28 * t), 3))
+    except Exception as e:
+        traceback.print_exc()
+        record(name, f"FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 
 def phase_serving():
     """Inference (serving) step: UNet forward at CFG batch, bf16, @1024^2.
     Also primes the compile cache for bench.py's serving section."""
-    from bench import bench_serving
-    from sdxl_training_improvements_tpu.models.unet import UNetConfig
-    cfg = UNetConfig.sdxl(remat=False, attn_impl="auto")
-    for name, kw in SERVING_CASES.items():
-        try:
-            log(f"serving {name} ...")
-            t = bench_serving(cfg, 128, **kw)
-            record(name, round(t * 1e3, 1))
-            imgs = kw["batch"] / 2
-            record(name.replace("_ms", "_images_per_s_28step"),
-                   round(imgs / (28 * t), 3))
-        except Exception as e:
-            traceback.print_exc()
-            record(name, f"FAILED: {type(e).__name__}: {str(e)[:300]}")
+    for name in SERVING_CASES:
+        run_serving_case(name)
 
 
 def phase_soap():
@@ -296,6 +339,9 @@ def main():
             continue
         if p.startswith("fwd:"):
             run_fwd_case(p.split(":", 1)[1])
+            continue
+        if p.startswith("serving:"):
+            run_serving_case(p.split(":", 1)[1])
             continue
         {"opt": phase_opt, "b4": phase_b4, "b1": phase_b1,
          "extra": phase_extra, "noise": phase_noise,

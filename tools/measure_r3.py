@@ -173,6 +173,17 @@ FWD_CASES = {
     "b4_nomat_native_ms": dict(  # the reference workload, no remat at all
         batch=4, remat=False, remat_policy="full", attn_impl="auto",
         steps=6, warmup=2),
+    # round-3c: the large bucket (1536^2 images = 192^2 latents, S=9216
+    # at the 64-ch attention stage) — the shape class where monolithic
+    # attention cannot run fwd+bwd at all (6.8 GB fp32 scores, round-2
+    # measurement) and where the chunked-vs-flash choice carries memory
+    # stakes.  One case per process (kernel gates lru_cached).
+    "b1_1536_native_ms": dict(  # production auto: chunked + fused GN
+        batch=1, remat=False, remat_policy="full", attn_impl="auto",
+        steps=6, warmup=2, hw=192),
+    "b1_1536_flash_ms": dict(  # explicit flash everywhere + fused GN
+        batch=1, remat=False, remat_policy="full", attn_impl="flash",
+        steps=6, warmup=2, hw=192),
 }
 
 

@@ -319,6 +319,13 @@ class TPUConfig:
     # planes, the stream the bit-parity suite pins).
     sr_noise: str = "hash"
     donate_state: bool = True
+    # non-blocking checkpointing (training/checkpoints.py): Orbax state
+    # saves snapshot to host and commit on a background thread; diffusers
+    # exports gather inline (the multi-host collective) and write
+    # safetensors on a background thread.  The loop serializes saves
+    # (wait-before-next) and joins everything before train() returns.
+    # The reference's torch.save blocked the step loop for the full write.
+    async_checkpointing: bool = True
     profile_dir: Optional[str] = None
 
     def __post_init__(self):

@@ -29,11 +29,65 @@ from sdxl_training_improvements_tpu.models import weights as W
 
 
 # --------------------------------------------------------------- orbax state
-def save_train_state(ckpt_dir, state, config=None) -> None:
-    """Save TrainState (params/opt_state/step/rng) with Orbax."""
+# Long-lived async machinery.  ``ocp.StandardCheckpointer`` IS an
+# AsyncCheckpointer: ``save`` returns once device arrays are snapshotted to
+# host memory and commits (tmp-dir rename) on a background thread — training
+# continues while the bytes hit disk.  The reference's torch.save blocked the
+# step loop for the full write (``sdxl_trainer.py:162-210``).  One module
+# singleton (orbax serializes one save at a time per checkpointer) plus a
+# 1-thread pool for the host-side diffusers/safetensors writes.
+_ASYNC_CKPTR: Optional[ocp.StandardCheckpointer] = None
+_EXPORT_POOL = None
+_PENDING_EXPORTS: list = []
+
+
+def _async_checkpointer() -> ocp.StandardCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def _export_pool():
+    global _EXPORT_POOL
+    if _EXPORT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _EXPORT_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-export")
+    return _EXPORT_POOL
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save is durable: the Orbax state
+    commit (tmp-dir rename) and any background diffusers-export writes.
+    Re-raises background failures loudly.  Safe with nothing pending."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    global _PENDING_EXPORTS
+    pending, _PENDING_EXPORTS = _PENDING_EXPORTS, []
+    for fut in pending:
+        fut.result()
+
+
+def save_train_state(ckpt_dir, state, config=None, blocking=True) -> None:
+    """Save TrainState (params/opt_state/step/rng) with Orbax.
+
+    ``blocking=False`` (``tpu.async_checkpointing``): returns as soon as the
+    state is snapshotted to host memory; the disk commit runs on Orbax's
+    background thread (multi-host: finalization barriers ride the
+    coordination service on that thread).  Mutating/donating the device
+    state after return is safe.  The ``state/`` directory only appears on
+    commit (tmp-dir rename), so ``latest_checkpoint`` never sees a torn
+    save.  Call :func:`wait_for_saves` before reading the checkpoint back
+    or exiting the process."""
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
+    if blocking:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(ckpt_dir / "state", _jax_state(state), force=True)
+    else:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # at most one state save in flight
         ckptr.save(ckpt_dir / "state", _jax_state(state), force=True)
     if config is not None:
         (ckpt_dir / "config.json").write_text(
@@ -42,6 +96,7 @@ def save_train_state(ckpt_dir, state, config=None) -> None:
 
 def restore_train_state(ckpt_dir, template_state):
     """Restore into the shapes/dtypes/shardings of ``template_state``."""
+    wait_for_saves()  # a just-issued async save of this dir must commit first
     ckpt_dir = Path(ckpt_dir).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(ckpt_dir / "state",
@@ -92,7 +147,7 @@ def _tree_to_host(tree):
 # ------------------------------------------------------- diffusers interchange
 def export_diffusers(ckpt_dir, model_params: dict, config=None,
                      scheduler_config: Optional[dict] = None,
-                     unet_config=None) -> None:
+                     unet_config=None, blocking=True) -> None:
     """Write diffusers-layout safetensors for every component present in
     ``model_params`` ({unet, vae, clip_l, clip_g}) — reference
     ``save_pretrained`` (``sdxl.py:246-288``).
@@ -103,12 +158,29 @@ def export_diffusers(ckpt_dir, model_params: dict, config=None,
     topologies (refiner / inpainting) from the checkpoint alone.
 
     Collective-safe: on multi-host runs CALL THIS ON EVERY PROCESS — the
-    shard gather below is a collective; only rank 0 writes files."""
+    shard gather below is a collective; only rank 0 writes files.
+
+    ``blocking=False``: the gather (collective, and the point where device
+    arrays become immutable host copies) still runs inline; only the rank-0
+    safetensors writes move to a background thread.  :func:`wait_for_saves`
+    joins them and re-raises failures."""
     ckpt_dir = Path(ckpt_dir)
     hosted = {k: _tree_to_host(v) for k, v in model_params.items()}
     if jax.process_index() != 0:
         return  # gather done; writing is rank-0's job
-    model_params = hosted
+    if blocking:
+        _write_diffusers(ckpt_dir, hosted, config, scheduler_config,
+                         unet_config)
+    else:
+        _PENDING_EXPORTS.append(_export_pool().submit(
+            _write_diffusers, ckpt_dir, hosted, config, scheduler_config,
+            unet_config))
+
+
+def _write_diffusers(ckpt_dir, model_params, config, scheduler_config,
+                     unet_config) -> None:
+    """Host-side file writes for :func:`export_diffusers` (rank 0 only;
+    ``model_params`` is already gathered numpy)."""
     if "unet" in model_params:
         W.save_unet(model_params["unet"],
                     ckpt_dir / "unet" / "diffusion_pytorch_model.safetensors")

@@ -423,6 +423,9 @@ class SDXLTrainer:
                     break
         if cfg.save_final_model:
             self.save_checkpoint(tag="final")
+        # join in-flight async saves before returning: the caller may read
+        # the checkpoint back (or exit the process) immediately
+        C.wait_for_saves()
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------- weights
@@ -535,9 +538,16 @@ class SDXLTrainer:
                 else f"{tag}_checkpoint")
         path = self.output_dir / name
         self.logger.info(f"Saving checkpoint to {path}")
+        # tpu.async_checkpointing: saves snapshot to host and commit in the
+        # background so the next epoch trains during the disk write.  At
+        # most one save is in flight — joining the previous one here also
+        # surfaces its failures at a deterministic, collective-safe point.
+        C.wait_for_saves()
+        blocking = not self.config.tpu.async_checkpointing
         # Orbax save is a COLLECTIVE for sharded state: every process must
         # call it; only the host-side artifact writes below are rank-0-only
-        C.save_train_state(path, self.state, config=self.config)
+        C.save_train_state(path, self.state, config=self.config,
+                           blocking=blocking)
         if M.is_main_process():
             import json as _json
             (path / "trainer_state.json").write_text(_json.dumps(
@@ -558,6 +568,7 @@ class SDXLTrainer:
         else:
             params["unet"] = self.eval_params()
         C.export_diffusers(path, params, config=self.config,
+                           blocking=blocking,
                            unet_config=self.model.unet_config,
                            scheduler_config={
                                "prediction_type":

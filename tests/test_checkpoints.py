@@ -183,3 +183,69 @@ class TestOrbaxResume:
         C.save_train_state(tmp_path / "checkpoint-0001", state)
         C.save_train_state(tmp_path / "checkpoint-0002", state)
         assert C.latest_checkpoint(tmp_path).name == "checkpoint-0002"
+
+
+class TestAsyncCheckpointing:
+    """tpu.async_checkpointing: non-blocking saves (checkpoints.py).
+
+    Orbax's contract: ``save`` with a pending commit returns only after the
+    device->host snapshot, so the caller may mutate/donate the live state
+    immediately; the ``state/`` dir appears atomically on commit."""
+
+    def test_async_state_save_then_restore(self, tiny_model, tmp_path):
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw"
+        opt = make_optimizer(cfg)
+        state = create_train_state(tiny_model.params["unet"], opt, seed=3)
+        state = state._replace(step=jnp.asarray(7, jnp.int32))
+        snapshot = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+        C.save_train_state(tmp_path / "ckpt-a", state, config=cfg,
+                           blocking=False)
+        # "training continues": rebind params to different values while the
+        # commit may still be in flight — must not affect the saved bytes
+        state = state._replace(
+            params=jax.tree.map(lambda x: x + 1.0, state.params))
+        C.wait_for_saves()
+        fresh = create_train_state(
+            jax.tree.map(jnp.zeros_like, tiny_model.params["unet"]), opt)
+        restored = C.restore_train_state(tmp_path / "ckpt-a", fresh)
+        assert int(restored.step) == 7
+        for a, b in zip(jax.tree.leaves(snapshot),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_back_to_back_async_saves_serialize(self, tiny_model, tmp_path):
+        cfg = Config()
+        cfg.optimizer.optimizer_type = "adamw"
+        opt = make_optimizer(cfg)
+        state = create_train_state(tiny_model.params["unet"], opt)
+        # second save must wait for the first commit internally, not raise
+        C.save_train_state(tmp_path / "checkpoint-0001", state,
+                           blocking=False)
+        C.save_train_state(tmp_path / "checkpoint-0002", state,
+                           blocking=False)
+        C.wait_for_saves()
+        assert (tmp_path / "checkpoint-0001" / "state").exists()
+        assert C.latest_checkpoint(tmp_path).name == "checkpoint-0002"
+
+    def test_background_diffusers_export(self, tiny_model, tmp_path):
+        C.export_diffusers(tmp_path / "ckpt", tiny_model.params,
+                           config=Config(), blocking=False)
+        C.wait_for_saves()
+        assert (tmp_path / "ckpt" / "unet" /
+                "diffusion_pytorch_model.safetensors").exists()
+        model2 = SDXLModel.create(tiny=True, dtype=jnp.float32)
+        loaded = C.import_diffusers(model2, tmp_path / "ckpt")
+        a = jax.tree.leaves(tiny_model.params["unet"])[0]
+        b = jax.tree.leaves(loaded["unet"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_background_export_failure_surfaces_at_wait(self, tiny_model,
+                                                        tmp_path):
+        target = tmp_path / "blocked"
+        target.write_text("a file where the checkpoint dir must go")
+        C.export_diffusers(target, {"unet": tiny_model.params["unet"]},
+                           blocking=False)
+        with pytest.raises(Exception):
+            C.wait_for_saves()
+        C.wait_for_saves()  # queue drained; next wait is clean

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from sdxl_training_improvements_tpu.config import Config
+from sdxl_training_improvements_tpu.training import checkpoints as C
 from sdxl_training_improvements_tpu.models.lora import (
     extend_token_embedding, lora_init, lora_merge, lora_train_wrappers)
 from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
@@ -147,6 +148,7 @@ class TestLoRAConfigPath:
         # checkpoint writes the adapter file + merged unet
         trainer.state = state2
         path = trainer.save_checkpoint(tag="final")
+        C.wait_for_saves()  # saves are async by default; join before reading
         assert (path / "pytorch_lora_weights.safetensors").exists()
         assert (path / "unet" /
                 "diffusion_pytorch_model.safetensors").exists()

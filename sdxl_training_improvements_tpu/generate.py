@@ -18,6 +18,11 @@ trained checkpoint a direct command-line surface:
 
     # two-stage base -> refiner ensemble
     ... --refiner /path/to/refiner_checkpoint --denoising-frac 0.8
+
+    # serialize the text2img program for deployment (jax.export), then
+    # serve it without retracing (see aot.py)
+    ... --export-aot artifacts/sdxl_28step
+    ... --aot artifacts/sdxl_28step
 """
 from __future__ import annotations
 
@@ -78,6 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "every K steps and run only the shallow stages "
                         "between (skips ~90%% of SDXL FLOPs on cached "
                         "steps; 1 = off, 2-3 = typical)")
+    p.add_argument("--export-aot", default=None, metavar="DIR",
+                   help="instead of sampling, serialize the text2img "
+                        "program (jax.export) to DIR as a deployment "
+                        "artifact: batch = number of --prompt flags, "
+                        "resolution/steps/sampler from the other flags "
+                        "(see aot.py)")
+    p.add_argument("--aot-platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets for --export-aot")
+    p.add_argument("--aot", default=None, metavar="DIR",
+                   help="run text2img through a previously exported AOT "
+                        "artifact (with --model supplying the weights); "
+                        "incompatible with img2img/inpaint/refiner/--mesh")
     return p
 
 
@@ -124,6 +141,22 @@ def main(argv=None) -> int:
         mesh = M.create_mesh(shape)
     if args.mask and not args.init:
         raise SystemExit("--mask requires --init (the image to repaint)")
+    if args.aot:
+        if args.init or args.mask or args.refiner or args.mesh:
+            raise SystemExit("--aot serves the exported text2img program "
+                             "only (no img2img/inpaint/refiner/--mesh)")
+        from sdxl_training_improvements_tpu.aot import AOTPipeline
+        aot = AOTPipeline.from_pretrained(args.aot, args.model,
+                                          tiny=args.tiny)
+        images = aot(args.prompt, negative_prompts=args.negative,
+                     seed=args.seed, guidance_scale=args.guidance)
+        out_dir = Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, img in enumerate(images):
+            path = out_dir / f"{i:03d}.png"
+            Image.fromarray(img).save(path)
+            print(path)
+        return 0
     pipe = SDXLPipeline.from_pretrained(args.model, tiny=args.tiny,
                                         method=method, mesh=mesh,
                                         sampler=args.sampler,
@@ -131,6 +164,16 @@ def main(argv=None) -> int:
     print(f"sampler method: {pipe.method} ({args.sampler}"
           + (f", deep-cache {args.deep_cache}" if args.deep_cache > 1
              else "") + ")")
+    if args.export_aot:
+        from sdxl_training_improvements_tpu.aot import export_text2img
+        art = export_text2img(
+            pipe, args.export_aot, batch=len(args.prompt),
+            height=args.height, width=args.width,
+            num_inference_steps=args.steps, guidance_scale=args.guidance,
+            aesthetic_score=args.aesthetic_score,
+            platforms=tuple(s for s in args.aot_platforms.split(",") if s))
+        print(f"AOT artifact written to {art}")
+        return 0
     if args.mask:
         inits = _load_images(args.init, args.height, args.width)
         masks = _load_masks(args.mask, args.height, args.width)

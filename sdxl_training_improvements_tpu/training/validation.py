@@ -114,16 +114,44 @@ class ValidationSampler:
             return x
         return jax.lax.with_sharding_constraint(x, M.batch_sharding(self.mesh))
 
+    def _conditioning(self, enc, n: int, height: int, width: int,
+                      aesthetic_score: float, negative_aesthetic_score: float):
+        """[cond; neg]-ordered encoder output -> CFG-stacked ([uncond; cond])
+        prompt_embeds / pooled / time_ids.  5-time-id UNets (the refiner) get
+        aesthetic-score conditioning rows with the diffusers cond/uncond
+        split (StableDiffusionXLImg2ImgPipeline convention: 6.0 cond / 2.5
+        uncond by default); 6-id UNets get [h, w, 0, 0, h, w].  Shared by
+        ``generate`` and the AOT export tracer (``aot.py``)."""
+        pe = jnp.concatenate([enc["prompt_embeds"][n:],
+                              enc["prompt_embeds"][:n]], axis=0)
+        pooled = jnp.concatenate([enc["pooled_prompt_embeds"][n:],
+                                  enc["pooled_prompt_embeds"][:n]], axis=0)
+        if self.model.unet_config.num_time_ids == 5:
+            uncond_row = [height, width, 0, 0, negative_aesthetic_score]
+            cond_row = [height, width, 0, 0, aesthetic_score]
+            time_ids = jnp.concatenate([
+                jnp.tile(jnp.asarray([uncond_row], jnp.float32), (n, 1)),
+                jnp.tile(jnp.asarray([cond_row], jnp.float32), (n, 1)),
+            ], axis=0)
+        else:
+            time_ids = jnp.tile(jnp.asarray(
+                [[height, width, 0, 0, height, width]], jnp.float32),
+                (2 * n, 1))
+        return pe, pooled, time_ids
+
     def _denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
-                  extra=None):
+                  extra=None, guidance=None):
         """model_fn(x, sigma) for the sampler: raw network F(c_in*x, t(sigma))
         with CFG when guidance > 1.  Conditioning rows are stacked
         [uncond; cond] along batch.  ``extra`` ([2B, K, h, w], already
         CFG-stacked) is concatenated on the channel axis every call — the
         inpainting conditioning (mask + masked-image latents) for 9-channel
-        UNets."""
+        UNets.  ``guidance`` overrides ``self.guidance_scale`` — it may be a
+        TRACED scalar (the AOT export path, ``aot.py``, bakes one program
+        with a runtime-adjustable guidance input)."""
         sigmas = self.schedule.sigmas
-        guidance = self.guidance_scale
+        if guidance is None:
+            guidance = self.guidance_scale
 
         def fn(x, sigma):
             # sigma -> nearest trained timestep (descending table)
@@ -144,7 +172,7 @@ class ValidationSampler:
         return fn
 
     def _cached_denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
-                         extra=None):
+                         extra=None, guidance=None):
         """DeepCache variant of ``_denoiser``: aux-threading model_fn
         ``(x, sigma, (step, deep)) -> (cfg_pred, (step+1, deep'))``.
 
@@ -154,7 +182,8 @@ class ValidationSampler:
         carry rides the sampler scan (``sample_ztsnr``/``sample_dpmpp_2m``
         ``aux0=``)."""
         sigmas = self.schedule.sigmas
-        guidance = self.guidance_scale
+        if guidance is None:
+            guidance = self.guidance_scale
         k = self.deep_cache_interval
 
         def fn(x, sigma, aux):
@@ -196,13 +225,14 @@ class ValidationSampler:
         return (jnp.asarray(0, jnp.int32), deep)
 
     def _flow_denoiser(self, unet_params, prompt_embeds, pooled, time_ids,
-                       extra=None):
+                       extra=None, guidance=None):
         """model_fn(x, t) -> CFG-combined velocity, t scalar in [0,1].
 
         The UNet is called with the float time directly — the flow-matching
         training convention (``methods.flow_matching_loss``; reference
         ``flow_matching_trainer.py:392-405``)."""
-        guidance = self.guidance_scale
+        if guidance is None:
+            guidance = self.guidance_scale
 
         def fn(x, t):
             b = x.shape[0]
@@ -253,25 +283,8 @@ class ValidationSampler:
         ids_l, ids_g = self.tokenizers(list(prompts) + negs)
         enc = self.model.encode_prompt(jnp.asarray(ids_l), jnp.asarray(ids_g))
         n = len(prompts)
-        # [uncond; cond] stacking
-        pe = jnp.concatenate([enc["prompt_embeds"][n:],
-                              enc["prompt_embeds"][:n]], axis=0)
-        pooled = jnp.concatenate([enc["pooled_prompt_embeds"][n:],
-                                  enc["pooled_prompt_embeds"][:n]], axis=0)
-        if self.model.unet_config.num_time_ids == 5:
-            # refiner conditioning: aesthetic score replaces target size,
-            # split cond/uncond (diffusers StableDiffusionXLImg2ImgPipeline
-            # convention: 6.0 cond / 2.5 uncond by default)
-            uncond_row = [height, width, 0, 0, negative_aesthetic_score]
-            cond_row = [height, width, 0, 0, aesthetic_score]
-            time_ids = jnp.concatenate([
-                jnp.tile(jnp.asarray([uncond_row], jnp.float32), (n, 1)),
-                jnp.tile(jnp.asarray([cond_row], jnp.float32), (n, 1)),
-            ], axis=0)
-        else:
-            time_ids = jnp.tile(jnp.asarray(
-                [[height, width, 0, 0, height, width]], jnp.float32),
-                (2 * n, 1))
+        pe, pooled, time_ids = self._conditioning(
+            enc, n, height, width, aesthetic_score, negative_aesthetic_score)
         extra = None
         if extra_channels is not None:
             # CFG-stack the conditioning channels to match [uncond; cond]

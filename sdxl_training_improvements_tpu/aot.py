@@ -69,6 +69,20 @@ def _encode_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return {k: params[k] for k in ("unet", "clip_l", "clip_g") if k in params}
 
 
+def _shape_digest(params: Dict[str, Any]) -> str:
+    """sha256 over sorted (path, shape, dtype) of the components an artifact
+    consumes — a topology fingerprint: any checkpoint of the exported
+    topology matches, a different UNet/CLIP/VAE shape does not."""
+    import hashlib
+    lines = []
+    for comp in sorted(set(params) & {"unet", "vae", "clip_l", "clip_g"}):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                params[comp])[0]:
+            lines.append(f"{comp}{jax.tree_util.keystr(path)}:"
+                         f"{tuple(leaf.shape)}:{leaf.dtype}")
+    return hashlib.sha256("\n".join(sorted(lines)).encode()).hexdigest()
+
+
 def _build_denoise(pipeline, n: int, height: int, width: int,
                    num_inference_steps: int, aesthetic_score: float,
                    negative_aesthetic_score: float):
@@ -156,7 +170,10 @@ def export_text2img(pipeline, out_dir, *, batch: int = 1,
     export traces with the real param SHAPES; values are not serialized).
     """
     params = pipeline.model.params
-    missing = {"unet", "vae", "clip_g"} - set(params)
+    required = {"unet", "vae", "clip_g"}
+    if pipeline.model.clip_l is not None:
+        required.add("clip_l")  # base topology traces the dual encoder
+    missing = required - set(params)
     if missing:
         raise ValueError(f"pipeline params missing components: {missing} — "
                          "load or init the model before exporting")
@@ -180,6 +197,12 @@ def export_text2img(pipeline, out_dir, *, batch: int = 1,
               "SDXL_TPU_MOSAIC": "slow"}
     saved = {k: os.environ.get(k) for k in forced}
     os.environ.update(forced)
+    # SDXL_TPU_MOSAIC='slow' is read through probe.mosaic_native's lru_cache;
+    # if the probe already ran in-process the override would be a no-op, so
+    # drop the cached verdict for the duration of the trace (and again after,
+    # so the forced env doesn't leak into the restored verdict).
+    from sdxl_training_improvements_tpu.ops import probe as _probe
+    _probe.mosaic_native.cache_clear()
     try:
         run = _build_denoise(pipeline, batch, height, width,
                              num_inference_steps, aesthetic_score,
@@ -196,6 +219,7 @@ def export_text2img(pipeline, out_dir, *, batch: int = 1,
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+        _probe.mosaic_native.cache_clear()
 
     (out / _DENOISE).write_bytes(exp_d.serialize())
     (out / _DECODE).write_bytes(exp_v.serialize())
@@ -214,6 +238,7 @@ def export_text2img(pipeline, out_dir, *, batch: int = 1,
         "aesthetic_score": aesthetic_score,
         "negative_aesthetic_score": negative_aesthetic_score,
         "refiner": pipeline.model.clip_l is None,
+        "param_shape_digest": _shape_digest(params),
         "schedule": {
             "prediction_type": sched.prediction_type,
             "num_timesteps": int(sched.num_timesteps),
@@ -254,6 +279,25 @@ class AOTPipeline:
                 f"artifact {d} has format_version "
                 f"{meta.get('format_version')}; this runtime reads "
                 f"{_FORMAT_VERSION}")
+        # Topology validation up front: a mismatched checkpoint would
+        # otherwise surface as an opaque pytree/shape error deep inside
+        # denoise.call (round-3 advisor finding).
+        if meta.get("refiner") != ("clip_l" not in params):
+            kind = "refiner" if meta.get("refiner") else "base (dual-CLIP)"
+            have = ("refiner (no clip_l)" if "clip_l" not in params
+                    else "base (has clip_l)")
+            raise ValueError(
+                f"artifact {d} was exported for a {kind} topology but the "
+                f"supplied checkpoint is {have}")
+        want = meta.get("param_shape_digest")
+        if want is not None:
+            got = _shape_digest(params)
+            if got != want:
+                raise ValueError(
+                    f"artifact {d} was exported for a different param "
+                    f"topology: artifact shape digest {want[:12]}…, "
+                    f"checkpoint {got[:12]}… — use a checkpoint of the "
+                    "exported topology or re-export the artifact")
         return cls(meta=meta,
                    denoise=jax_export.deserialize(
                        (d / _DENOISE).read_bytes()),

@@ -64,6 +64,10 @@ class OptimizerConfig:
     # adamw_bf16 only: hold Adam moments as 8-bit log codes + one fp32
     # scale per leaf (4 instead of 6 state bytes/param; ops/quantize.py)
     moments_8bit: bool = False
+    # adamw_bf16 only: keep the SR shift tree in pinned host memory,
+    # streamed leaf-by-leaf through HBM inside the update (removes 5.1 GB
+    # resident at SDXL scale; single-device small-HBM escape hatch)
+    shift_host: bool = False
 
     # Schedule-free specific
     warmup_steps: int = 0
@@ -148,6 +152,12 @@ class TrainingConfig:
     num_inference_steps: int = 50
     debug_mode: bool = False
     save_final_model: bool = True
+    # Rebuild addition: the reference exports a best-loss checkpoint every
+    # epoch the loss improves (``ddpm_trainer.py:232-238``) — correct for
+    # long epochs, pathological for few-batch epochs where loss improves
+    # every time (a full diffusers export per epoch). False keeps best-loss
+    # TRACKING but skips the per-improvement export.
+    save_best: bool = True
     # Rebuild additions (absent in reference):
     max_steps: Optional[int] = None  # hard step cap (overrides epochs if set)
     resume_from: Optional[str] = None  # checkpoint dir to resume from
@@ -307,6 +317,14 @@ class TPUConfig:
     # (tools/measure_r3.py, 2026-08-17).  Must divide the global batch; each
     # micro-batch is sharded over the data/fsdp mesh axes.
     micro_batch_size: Optional[int] = None
+    # gradient-accumulator dtype: "float32" (exact micro-batch mean, the
+    # default) or "bfloat16" (halves the resident accumulator — 5.1 vs
+    # 10.3 GB at SDXL scale; the per-micro-batch grads are already bf16, so
+    # the delta is bf16 rounding of the running sum and the clip rescale).
+    # "bfloat16" + gradient_accumulation_steps 1 + optimizer.moments_8bit
+    # is what fits the whole fwd+bwd+clip+update as ONE program on a 16 GB
+    # chip (bench.py single_program_full_step).
+    grad_accum_dtype: str = "float32"
     # flat optimizer state (adamw_bf16 only): pack bf16 leaves into a few
     # contiguous buffers so the update runs as large fused passes.
     # "auto" resolves to OFF — flat packing measured ~500ms vs 127ms
@@ -341,6 +359,10 @@ class TPUConfig:
         if self.sr_noise not in ("hash", "rbg"):
             raise ValueError(
                 f"tpu.sr_noise must be hash|rbg, got {self.sr_noise!r}")
+        if self.grad_accum_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"tpu.grad_accum_dtype must be float32|bfloat16, "
+                f"got {self.grad_accum_dtype!r}")
         if self.micro_batch_size is not None and self.micro_batch_size < 1:
             raise ValueError(
                 f"tpu.micro_batch_size must be >= 1 or null, "

@@ -148,6 +148,22 @@ def main(argv=None) -> int:
         from sdxl_training_improvements_tpu.aot import AOTPipeline
         aot = AOTPipeline.from_pretrained(args.aot, args.model,
                                           tiny=args.tiny)
+        # steps/resolution/sampler/deep-cache are STATIC in an AOT artifact;
+        # refuse an explicitly-passed flag that disagrees with the artifact
+        # rather than silently dropping it (round-3 advisor finding).  A flag
+        # left at its parser default is treated as "not passed".
+        parser = build_parser()
+        static = {"steps": "num_inference_steps", "height": "height",
+                  "width": "width", "sampler": "sampler",
+                  "deep_cache": "deep_cache"}
+        for flag, meta_key in static.items():
+            passed = getattr(args, flag)
+            baked = aot.meta.get(meta_key)
+            if passed != parser.get_default(flag) and passed != baked:
+                raise SystemExit(
+                    f"--{flag.replace('_', '-')}={passed} conflicts with the "
+                    f"AOT artifact ({meta_key}={baked} is static in the "
+                    "exported program); drop the flag or re-export")
         images = aot(args.prompt, negative_prompts=args.negative,
                      seed=args.seed, guidance_scale=args.guidance)
         out_dir = Path(args.out)

@@ -62,6 +62,10 @@ def make_handler(runner: _Runner):
     meta = runner.aot.meta
 
     class Handler(BaseHTTPRequestHandler):
+        # socket read/write timeout: a stalled client can't pin a server
+        # thread (and its slot in the device queue) forever
+        timeout = 60
+
         # quiet default request logging (stderr per request is noise at QPS)
         def log_message(self, fmt, *args):  # noqa: D102
             pass
@@ -91,14 +95,22 @@ def make_handler(runner: _Runner):
                 if not isinstance(prompts, list) or not all(
                         isinstance(p, str) for p in prompts):
                     raise ValueError('"prompts" must be a list of strings')
+                negs = req.get("negative_prompts")
+                if negs is not None and (not isinstance(negs, list) or not
+                                         all(isinstance(p, str)
+                                             for p in negs)):
+                    # a bare string would be list()-exploded into characters
+                    raise ValueError(
+                        '"negative_prompts" must be a list of strings')
                 seed = int(req.get("seed", 0))
                 g = req.get("guidance_scale")
                 images = runner.generate(
                     prompts,
-                    negative_prompts=req.get("negative_prompts"),
+                    negative_prompts=negs,
                     seed=seed,
                     guidance_scale=None if g is None else float(g))
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError covers e.g. "seed": null / non-numeric guidance
                 self._reply(400, {"error": str(e),
                                   "artifact_batch": meta["batch"]})
                 return

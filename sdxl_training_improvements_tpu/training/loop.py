@@ -414,7 +414,8 @@ class SDXLTrainer:
                 # inside save_checkpoint are rank-0-gated.
                 if track_loss < self.best_loss:
                     self.best_loss = track_loss
-                    self.save_checkpoint(tag="best")
+                    if cfg.save_best:
+                        self.save_checkpoint(tag="best")
                 if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
                     self.save_checkpoint(epoch=epoch)
                     if M.is_main_process():

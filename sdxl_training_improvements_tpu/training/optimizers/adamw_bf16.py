@@ -41,6 +41,13 @@ plus one fp32 scale per leaf (``ops/quantize.py``): 4 instead of 6 state
 bytes/param (15.4 -> 10.3 GB at SDXL scale) and half the moment HBM
 traffic; the SR ``shift`` stays bf16-exact.  Same loud-resume-mismatch
 caveat as ``flat_state``.
+
+``shift_host=True`` (``optimizer.shift_host`` in YAML; per-leaf only)
+additionally parks the bf16-exact shift tree in pinned host memory,
+streamed through HBM one leaf at a time inside the update.  Combined with
+``moments="int8"`` the device-resident optimizer state drops to ~2
+bytes/param, which is what lets the whole fwd+bwd+clip+update execute as a
+single jitted program on a 16 GB chip (``bench.py`` single-program row).
 """
 from __future__ import annotations
 
@@ -107,7 +114,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                lr_schedule=None, prng_impl: str = "rbg",
                flat_state: bool = False, flat_groups: int = 8,
                noise: Optional[str] = None, layout: Optional[str] = None,
-               hybrid_threshold: int = 1 << 20, moments: str = "bf16"
+               hybrid_threshold: int = 1 << 20, moments: str = "bf16",
+               shift_host: bool = False
                ) -> optax.GradientTransformation:
     """Build the transform.  ``update(grads, state, params)`` returns the
     *delta* to add to params (optax convention: ``p += updates``).
@@ -137,6 +145,36 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
     if moments == "int8" and layout != "per_leaf":
         raise ValueError("moments='int8' requires layout='per_leaf' "
                          f"(got layout={layout!r})")
+    if shift_host and layout != "per_leaf":
+        raise ValueError("shift_host requires layout='per_leaf' "
+                         f"(got layout={layout!r})")
+
+    # ``shift_host``: the SR shift tree lives in pinned host memory and is
+    # streamed through HBM one leaf at a time inside the jitted update —
+    # XLA overlaps the per-leaf DMA with the elementwise math of other
+    # leaves.  Removes 5.1 GB (at SDXL scale) of resident HBM; with
+    # moments="int8" this is what lets the full fwd+bwd+clip+update run as
+    # ONE program on a 16 GB chip (bench.py single_program_full_step).
+    # Single-device placement (the small-HBM scenario it exists for).
+    def _shift_mem(kind: str):
+        from jax.sharding import SingleDeviceSharding
+        return SingleDeviceSharding(jax.devices()[0], memory_kind=kind)
+
+    def _shift_to_host(x):
+        if not shift_host:
+            return x
+        try:
+            return jax.device_put(x, _shift_mem("pinned_host"))
+        except Exception:  # backend without pinned_host: stay resident
+            return x
+
+    def _shift_to_device(x):
+        if not shift_host:
+            return x
+        try:
+            return jax.device_put(x, _shift_mem("device"))
+        except Exception:
+            return x
 
     def _validate(leaves):
         for p in leaves:
@@ -246,7 +284,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             step=jnp.zeros((), jnp.int32),
             exp_avg=jax.tree.map(_m_init, params),
             exp_avg_sq=jax.tree.map(_v_init, params),
-            shift=jax.tree.map(lambda p: jnp.zeros_like(p), params),
+            shift=jax.tree.map(
+                lambda p: _shift_to_host(jnp.zeros_like(p)), params),
             accumulated_decay=accumulated,
             key=jax.random.fold_in(key, 2),
         )
@@ -270,6 +309,7 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                 m, v = f32_update(p, g, m, v)
                 delta = f32_delta(p, m, v, cur_lr, denom_correction)
                 return delta, m, v, shift, acc_decay
+            shift = _shift_to_device(shift)
             if quantized:
                 from sdxl_training_improvements_tpu.ops.quantize import (
                     dequantize_8bit, quantize_8bit)
@@ -278,9 +318,12 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                     dequantize_8bit(v, signed=False), shift, acc_decay,
                     key, cur_lr, denom_correction)
                 return (delta, quantize_8bit(m2, signed=True),
-                        quantize_8bit(v2, signed=False), shift, acc)
-            return bf16_update(p, g, m, v, shift, acc_decay, key, cur_lr,
-                               denom_correction)
+                        quantize_8bit(v2, signed=False),
+                        _shift_to_host(shift), acc)
+            delta, m, v, shift, acc = bf16_update(
+                p, g, m, v, shift, acc_decay, key, cur_lr,
+                denom_correction)
+            return delta, m, v, _shift_to_host(shift), acc
 
         results = [leaf_update(p, g, m, v, s, a, leaf_keys[i])
                    for i, (p, g, m, v, s, a) in enumerate(zip(

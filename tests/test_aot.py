@@ -170,6 +170,56 @@ class TestMetaAndValidation:
             main(["--model", "m", "--prompt", "p", "--aot", "d",
                   "--refiner", "r"])
 
+    def test_export_requires_clip_l_when_dual(self, tmp_path):
+        """A base (dual-CLIP) model missing only clip_l must fail the
+        up-front check, not a raw KeyError inside tracing."""
+        model = SDXLModel.create(
+            tiny=True, dtype=jnp.float32, init_rng=jax.random.key(3),
+            init_components=("unet", "vae", "clip_g"))  # clip_l skipped
+        assert model.clip_l is not None  # topology is dual-encoder
+        pipe = SDXLPipeline.from_model(model)
+        with pytest.raises(ValueError, match="clip_l"):
+            _export(pipe, tmp_path / "art")
+
+    def test_load_rejects_refiner_checkpoint_mismatch(self, base_model,
+                                                      tmp_path):
+        pipe = SDXLPipeline.from_model(base_model)
+        art = _export(pipe, tmp_path / "art")
+        refiner_like = {k: v for k, v in base_model.params.items()
+                        if k != "clip_l"}
+        with pytest.raises(ValueError, match="topology"):
+            AOTPipeline.load(art, refiner_like, pipe.tokenizers)
+
+    def test_load_rejects_shape_digest_mismatch(self, base_model, tmp_path):
+        pipe = SDXLPipeline.from_model(base_model)
+        art = _export(pipe, tmp_path / "art")
+        other = SDXLModel.create(
+            tiny=True, dtype=jnp.float32, init_rng=jax.random.key(4),
+            unet_config=UNetConfig.tiny(layers_per_block=2),
+            init_components=("unet", "vae", "clip_l", "clip_g"))
+        with pytest.raises(ValueError, match="shape digest"):
+            AOTPipeline.load(art, other.params, pipe.tokenizers)
+
+    def test_cli_static_flag_conflict_rejected(self, base_model, tmp_path):
+        from sdxl_training_improvements_tpu.generate import main
+        from sdxl_training_improvements_tpu.config import Config
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_diffusers)
+        ckpt = tmp_path / "ckpt"
+        export_diffusers(ckpt, base_model.params, Config(),
+                         unet_config=base_model.unet_config)
+        pipe = SDXLPipeline.from_pretrained(ckpt, tiny=True)
+        art = _export(pipe, tmp_path / "art")  # 3 steps, 32x32, euler
+        with pytest.raises(SystemExit, match="static in the"):
+            main(["--model", str(ckpt), "--prompt", "p", "--tiny",
+                  "--aot", str(art), "--steps", "50",
+                  "--out", str(tmp_path / "out")])
+        # sampler conflicts too
+        with pytest.raises(SystemExit, match="static in the"):
+            main(["--model", str(ckpt), "--prompt", "p", "--tiny",
+                  "--aot", str(art), "--sampler", "dpmpp_2m",
+                  "--out", str(tmp_path / "out")])
+
     def test_from_pretrained_checkpoint(self, base_model, tmp_path):
         """Artifact + diffusers checkpoint dir — the deployment composition."""
         from sdxl_training_improvements_tpu.config import Config

@@ -93,6 +93,39 @@ class TestServe:
         assert _post(server_url + "/generate", {"prompts": "x"})[0] == 400
         assert _post(server_url + "/generate", {"prompts": [3]})[0] == 400
 
+    def test_type_errors_are_400(self, server_url):
+        """seed: null / non-numeric guidance / bare-string negative_prompts
+        must be 4xx client errors, not 500s (round-3 advisor finding)."""
+        assert _post(server_url + "/generate",
+                     {"prompts": ["x"], "seed": None})[0] == 400
+        assert _post(server_url + "/generate",
+                     {"prompts": ["x"], "guidance_scale": [1.0]})[0] == 400
+        status, body = _post(server_url + "/generate",
+                             {"prompts": ["x"],
+                              "negative_prompts": "blurry"})
+        assert status == 400
+        assert "negative_prompts" in body["error"]
+
+    def test_concurrent_clients(self, server_url):
+        """Two clients in flight at once: both succeed, device execution is
+        serialized by the runner lock, results stay seed-deterministic."""
+        results = {}
+
+        def hit(name, seed):
+            results[name] = _post(server_url + "/generate",
+                                  {"prompts": ["x"], "seed": seed})
+
+        threads = [threading.Thread(target=hit, args=(f"c{i}", i % 2))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r[0] == 200 for r in results.values()), results
+        # same-seed requests agree even under concurrency
+        assert (results["c0"][1]["images"][0]
+                == results["c2"][1]["images"][0])
+
     def test_unknown_routes_404(self, server_url):
         assert _post(server_url + "/nope", {})[0] == 404
         with pytest.raises(urllib.error.HTTPError) as ei:

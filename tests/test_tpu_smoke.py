@@ -132,3 +132,24 @@ def test_fused_adamw_rng_on_device(tpu):
     # unbiased: overall up-round fraction ~ 0.5 (p+s is halfway)
     up = (stacked > 1.0).mean()
     assert 0.45 < up < 0.55, f"SR up-fraction {up:.3f}"
+
+
+def test_shift_host_residency_through_update(tpu):
+    """shift_host=True must keep the SR shift in pinned host memory ACROSS
+    a jitted update on real hardware (the CPU test backend drops in-jit
+    memory-kind annotations, so this is hardware-only coverage)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from sdxl_training_improvements_tpu.training.optimizers import adamw_bf16
+
+    opt = adamw_bf16(lr=0.01, weight_decay=0.01, seed=1, shift_host=True)
+    params = {"w": jnp.full((1024,), 1.0, jnp.bfloat16)}
+    state = opt.init(params)
+    assert state.shift["w"].sharding.memory_kind == "pinned_host"
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, state = jax.jit(opt.update)(g, state, params)
+    assert state.shift["w"].sharding.memory_kind == "pinned_host"
+    p2 = optax.apply_updates(params, upd)
+    assert np.isfinite(np.asarray(p2["w"], np.float32)).all()

@@ -187,6 +187,34 @@ class TestGradAccum:
             chex.assert_trees_all_close(out.params, ref_out.params,
                                         rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("accum", [1, 2])
+    def test_bf16_grad_accum_close_to_fp32(self, tiny_model, accum):
+        """tpu.grad_accum_dtype=bfloat16 (the 16 GB single-program knob):
+        same step, bf16 running sum — params land within bf16 rounding of
+        the fp32-accumulated step and the loss is identical (the loss
+        doesn't flow through the accumulator)."""
+        batch = make_batch(jax.random.key(3), 4)
+        outs = {}
+        for dtype in ("float32", "bfloat16"):
+            cfg = Config()
+            cfg.optimizer.optimizer_type = "adamw"
+            cfg.training.gradient_accumulation_steps = accum
+            cfg.tpu.grad_accum_dtype = dtype
+            step, state = build(cfg, tiny_model)
+            outs[dtype] = step(state, batch)
+        s32, m32 = outs["float32"]
+        s16, m16 = outs["bfloat16"]
+        assert float(m16["loss"]) == pytest.approx(float(m32["loss"]),
+                                                   rel=1e-6)
+        chex.assert_trees_all_close(s16.params, s32.params,
+                                    rtol=2e-2, atol=2e-5)
+
+    def test_grad_accum_dtype_validated(self):
+        cfg = Config()
+        with pytest.raises(ValueError, match="grad_accum_dtype"):
+            cfg.tpu.grad_accum_dtype = "fp8"
+            cfg.tpu.__post_init__()
+
     def test_micro_batch_must_divide_global(self, tiny_model):
         cfg = Config()
         cfg.optimizer.optimizer_type = "adamw"

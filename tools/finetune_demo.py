@@ -1,0 +1,491 @@
+"""End-to-end training proof on the real chip (VERDICT round-3 item #1).
+
+The reference's entire purpose is fine-tuning SDXL on an image folder
+(``/root/reference/src/main.py:39-118``).  This tool produces the evidence
+that THIS framework actually does that end to end — real image files on
+disk, bucketing, latent/embedding precompute through the jitted encoders,
+the jitted train loop, LoRA adaptation (reference surface
+``/root/reference/src/models/adapters/lora.py:11-56``), checkpoint export +
+reload, and before/after samples through the inference pipeline — with a
+recorded, descending loss curve.
+
+Environment honesty: this machine has NO pretrained SDXL weights and zero
+network egress, so "fine-tune actual SDXL-base safetensors" is not
+physically possible here.  The demo therefore proves the claim in two
+halves that together cover everything the real run would:
+
+* ``pretrain`` + ``lora`` (the LEARNING proof, small model): pretrain a
+  tiny-topology SDXL (same architecture family, same code paths) on a
+  synthetic shapes dataset until it demonstrably models the data, export it
+  as a diffusers-layout checkpoint, then LoRA-fine-tune a *held-out
+  concept* from that checkpoint exactly as a user would fine-tune
+  SDXL-base — the checkpoint import, LoRA wiring, training, merged export,
+  and sampling are the identical code paths.  Before/after samples show
+  the new concept appearing, and a pixel-level concept score quantifies it.
+* ``full-scale`` (the SCALE proof, real chip): the same LoRA fine-tune
+  recipe over the full 2.567B-parameter SDXL UNet at 1024x1024 on the TPU
+  — random-init weights (see above), but every byte of the memory plan,
+  every compile, every step is the one a real SDXL fine-tune runs.
+
+Artifacts land in ``artifacts/finetune_demo/`` (loss curves as JSON, sample
+PNGs, a summary.json) so the evidence is committed with the repo;
+checkpoints stay under ``outputs/`` (gitignored).
+
+Usage::
+
+    python tools/finetune_demo.py --stage all          # pretrain + lora
+    python tools/finetune_demo.py --stage full-scale   # 2.567B on the chip
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+ART = REPO / "artifacts" / "finetune_demo"
+WORK = REPO / "outputs" / "finetune_demo"
+
+# ---------------------------------------------------------------- dataset
+
+BASE_CONCEPTS = [("red", "circle"), ("blue", "square"), ("yellow", "cross")]
+NEW_CONCEPT = ("green", "triangle")
+COLORS = {"red": (220, 40, 40), "blue": (40, 70, 220),
+          "yellow": (230, 210, 40), "green": (40, 200, 60)}
+BG = (190, 190, 190)
+
+
+def _draw(color: str, shape: str, rng: np.random.Generator, size: int = 64):
+    """One synthetic training image: a solid shape on a gray background."""
+    from PIL import Image, ImageDraw
+    img = Image.new("RGB", (size, size), BG)
+    d = ImageDraw.Draw(img)
+    c = COLORS[color]
+    r = int(rng.integers(size // 5, size // 3))
+    cx = int(rng.integers(r + 2, size - r - 2))
+    cy = int(rng.integers(r + 2, size - r - 2))
+    if shape == "circle":
+        d.ellipse([cx - r, cy - r, cx + r, cy + r], fill=c)
+    elif shape == "square":
+        d.rectangle([cx - r, cy - r, cx + r, cy + r], fill=c)
+    elif shape == "triangle":
+        d.polygon([(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)], fill=c)
+    elif shape == "cross":
+        w = max(2, r // 3)
+        d.rectangle([cx - r, cy - w, cx + r, cy + w], fill=c)
+        d.rectangle([cx - w, cy - r, cx + w, cy + r], fill=c)
+    else:
+        raise ValueError(shape)
+    return img
+
+
+def make_dataset(out_dir: Path, concepts, n_per: int, seed: int,
+                 size: int = 64) -> int:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = 0
+    for color, shape in concepts:
+        for i in range(n_per):
+            stem = out_dir / f"{color}_{shape}_{i:03d}"
+            _draw(color, shape, rng, size).save(stem.with_suffix(".png"))
+            stem.with_suffix(".txt").write_text(f"a {color} {shape}")
+            n += 1
+    return n
+
+
+def concept_score(png_path: Path, color: str) -> float:
+    """Fraction of pixels within a loose RGB ball of the concept color —
+    the quantitative 'did the concept appear' number for before/after."""
+    from PIL import Image
+    arr = np.asarray(Image.open(png_path).convert("RGB"), np.float32)
+    target = np.asarray(COLORS[color], np.float32)
+    return float((np.linalg.norm(arr - target, axis=-1) < 90.0).mean())
+
+
+# ------------------------------------------------------------ vae pretrain
+
+def pretrain_vae(img_dir: Path, steps: int, batch: int, lr: float,
+                 seed: int, log):
+    """Reconstruction-pretrain the tiny AutoencoderKL so diffusion training
+    happens in a latent space whose decoder produces real images (the role
+    SDXL-base's published VAE plays for the reference)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+    from sdxl_training_improvements_tpu.models.vae import (
+        AutoencoderKL, VAEConfig)
+
+    paths = sorted(img_dir.glob("*.png"))
+    imgs = np.stack([np.asarray(Image.open(p).convert("RGB"), np.float32)
+                     for p in paths])
+    imgs = np.transpose(imgs / 127.5 - 1.0, (0, 3, 1, 2))  # NCHW [-1,1]
+
+    vae = AutoencoderKL(VAEConfig.tiny())
+    params = jax.jit(vae.init)(jax.random.key(seed),
+                               jnp.zeros((1,) + imgs.shape[1:], jnp.float32),
+                               jax.random.key(0))
+    opt = optax.adam(lr)
+    opt_state = jax.jit(opt.init)(params)
+
+    def loss_fn(p, px, key):
+        mean, logvar = vae.apply(p, px, method=vae.moments)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+            key, mean.shape, mean.dtype)
+        recon = vae.apply(p, z * vae.config.scaling_factor,
+                          method=vae.decode)
+        mse = jnp.mean(jnp.square(recon - px))
+        kl = 0.5 * jnp.mean(jnp.square(mean) + jnp.exp(logvar) - 1 - logvar)
+        # diffusion trains on mean*scaling_factor: pin its std to 1 so the
+        # latent space honours the same contract SDXL-base's published VAE
+        # does for scaling_factor 0.13025 (else the v-pred loss starts in
+        # the reference's 1000.0 clamp zone and wastes the early curve)
+        scale_pen = jnp.square(
+            jnp.std(mean * vae.config.scaling_factor) - 1.0)
+        return mse + 1e-4 * kl + 0.1 * scale_pen, mse
+
+    @jax.jit
+    def step(p, s, px, key):
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, px, key)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss, mse
+
+    key = jax.random.key(seed + 1)
+    rng = np.random.default_rng(seed)
+    curve = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        idx = rng.integers(0, len(imgs), batch)
+        key, k = jax.random.split(key)
+        params, opt_state, loss, mse = step(
+            params, opt_state, jnp.asarray(imgs[idx]), k)
+        if i % 100 == 0 or i == steps - 1:
+            curve.append({"step": i, "mse": float(mse)})
+            log(f"  vae step {i}: recon mse {float(mse):.5f}")
+    log(f"  vae pretrain: {steps} steps in {time.perf_counter()-t0:.0f}s, "
+        f"final mse {curve[-1]['mse']:.5f}")
+    return params, curve
+
+
+# ------------------------------------------------------------- config glue
+
+def demo_config(data_dir: Path, *, batch: int, epochs: int, lr: float,
+                out_label: str, seed: int = 0, image_size: int = 64):
+    from sdxl_training_improvements_tpu.config import Config
+    cfg = Config()
+    cfg.model.model_type = "sdxl_tiny"
+    # flow matching for the LEARNING stages: its loss is an O(1) MSE against
+    # bounded targets (x1-x0), so the curve reads as a learning curve.  The
+    # reference's default v-pred recipe computes v=(eps-x)/sigma
+    # (novelai_v3.py:122-127) whose targets blow up ~1/sigma at the small-
+    # sigma end — from RANDOM init (all this environment allows, see module
+    # docstring) a large fraction of steps saturate the reference's 1000.0
+    # finite-guard clamp and the curve is unreadable noise.  Both methods
+    # share every other code path (trainer, precompute, LoRA, export).
+    cfg.training.method = "flow_matching"
+    cfg.data.train_data_dir = [str(data_dir)]
+    cfg.data.image_size = image_size
+    cfg.data.random_flip = False  # shapes are orientation-specific
+    cfg.training.batch_size = batch
+    cfg.training.gradient_accumulation_steps = 1
+    cfg.training.num_epochs = epochs
+    cfg.training.mixed_precision = "no"
+    cfg.training.save_every = 0
+    cfg.training.save_best = False  # few-batch epochs: export final only
+    cfg.training.seed = seed
+    cfg.training.num_inference_steps = 40
+    cfg.optimizer.optimizer_type = "adamw"
+    cfg.optimizer.learning_rate = lr
+    cfg.global_config.cache.cache_dir = str(WORK / f"cache_{out_label}")
+    cfg.global_config.image.supported_dims = [[image_size, image_size]]
+    cfg.global_config.image.min_size = [image_size // 2, image_size // 2]
+    cfg.global_config.image.max_size = [image_size * 2, image_size * 2]
+    cfg.global_config.logging.log_dir = str(WORK / f"logs_{out_label}")
+    cfg.global_config.logging.log_every = 10
+    return cfg
+
+
+def run_trainer(cfg, out_dir: Path, log, model=None):
+    """Drive the REAL orchestration path (training.loop.SDXLTrainer) and
+    return (trainer, per-step loss history)."""
+    from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
+    trainer = SDXLTrainer(cfg, model=model, output_dir=str(out_dir),
+                          use_mesh=False)
+    # record every step's loss: the logger's tracker keeps full history
+    trainer.logger.metrics.keep_history = True
+    trainer.prepare_data()
+    t0 = time.perf_counter()
+    trainer.train()
+    wall = time.perf_counter() - t0
+    hist = trainer.logger.metrics._history.get("loss", [])
+    log(f"  {len(hist)} logged losses over {wall:.0f}s; "
+        f"first {hist[0]:.4f} -> last {hist[-1]:.4f}" if hist else
+        f"  trained in {wall:.0f}s (no loss history)")
+    return trainer, hist, wall
+
+
+def sample(ckpt: Path, prompts, out_dir: Path, *, tiny: bool, size: int,
+           steps: int = 40, seed: int = 7):
+    """Generate through the real CLI entry (generate.main)."""
+    from sdxl_training_improvements_tpu.generate import main as gen_main
+    argv = ["--model", str(ckpt), "--out", str(out_dir),
+            "--height", str(size), "--width", str(size),
+            "--steps", str(steps), "--seed", str(seed),
+            "--guidance", "5.0"]
+    if tiny:
+        argv.append("--tiny")
+    for p in prompts:
+        argv += ["--prompt", p]
+    rc = gen_main(argv)
+    if rc != 0:
+        raise RuntimeError(f"generate.main returned {rc}")
+    return sorted(out_dir.glob("*.png"))
+
+
+# ------------------------------------------------------------------ stages
+
+def stage_pretrain(log, fast: bool = False):
+    """Shapes dataset -> VAE recon pretrain -> base diffusion train ->
+    diffusers checkpoint at outputs/finetune_demo/base/final_checkpoint."""
+    import jax
+    from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+    from sdxl_training_improvements_tpu.training import checkpoints as C
+
+    data_dir = WORK / "data_base"
+    n = make_dataset(data_dir, BASE_CONCEPTS, n_per=16 if fast else 64,
+                     seed=0)
+    log(f"base dataset: {n} images x 3 concepts at {data_dir}")
+
+    vae_params, vae_curve = pretrain_vae(
+        data_dir, steps=200 if fast else 1500, batch=16, lr=2e-3, seed=0,
+        log=log)
+
+    # assemble the bundle: trained VAE + random UNet/CLIPs, export as the
+    # "pretrained" starting checkpoint so the trainer's import path runs
+    model = SDXLModel.create(tiny=True, dtype=jax.numpy.float32,
+                             init_rng=jax.random.key(0),
+                             init_components=("unet", "clip_l", "clip_g"))
+    model.params["vae"] = vae_params
+    init_ckpt = WORK / "base_init"
+    cfg = demo_config(data_dir, batch=16, epochs=20 if fast else 400,
+                      lr=4e-4, out_label="base")
+    C.export_diffusers(init_ckpt, model.params, cfg,
+                       unet_config=model.unet_config)
+
+    cfg.model.pretrained_model_name = str(init_ckpt)
+    trainer, hist, wall = run_trainer(cfg, WORK / "base", log)
+    ckpt = WORK / "base" / "final_checkpoint"
+    assert ckpt.exists()
+
+    # sanity samples: the base must produce its trained concepts
+    sdir = ART / "samples_base"
+    prompts = [f"a {c} {s}" for c, s in BASE_CONCEPTS]
+    pngs = sample(ckpt, prompts, sdir, tiny=True, size=64)
+    # generate.py writes 000.png, 001.png, ... in prompt order
+    scores = {prompts[i]: concept_score(png, BASE_CONCEPTS[i][0])
+              for i, png in enumerate(pngs[:len(prompts)])}
+    log(f"base concept scores (fraction of concept-colored pixels): "
+        f"{scores}")
+    out = {
+        "dataset_images": n,
+        "vae_recon_curve": vae_curve,
+        "diffusion_loss_first10_mean": float(np.mean(hist[:10])),
+        "diffusion_loss_last10_mean": float(np.mean(hist[-10:])),
+        "diffusion_steps_logged": len(hist),
+        "train_wall_seconds": round(wall, 1),
+        "base_concept_scores": scores,
+        "loss_history": hist,
+        "backend": jax.default_backend(),
+    }
+    ART.mkdir(parents=True, exist_ok=True)
+    (ART / "pretrain.json").write_text(json.dumps(out, indent=1))
+    log(f"pretrain stage done -> {ART/'pretrain.json'}")
+    return ckpt
+
+
+def stage_lora(log, fast: bool = False):
+    """LoRA fine-tune the held-out concept from the pretrained checkpoint —
+    the exact user workflow for fine-tuning SDXL-base.  Before/after
+    samples + concept score + loss curve."""
+    base_ckpt = WORK / "base" / "final_checkpoint"
+    if not base_ckpt.exists():
+        raise SystemExit("run --stage pretrain first (no base checkpoint)")
+
+    color, shape = NEW_CONCEPT
+    data_dir = WORK / "data_new"
+    n = make_dataset(data_dir, [NEW_CONCEPT], n_per=16 if fast else 64,
+                     seed=1)
+    prompt = f"a {color} {shape}"
+    log(f"new-concept dataset: {n} images of '{prompt}'")
+
+    # BEFORE: the base model does not know the concept
+    before_dir = ART / "samples_before_lora"
+    before = sample(base_ckpt, [prompt], before_dir, tiny=True, size=64)
+    s_before = max(concept_score(p, color) for p in before)
+
+    cfg = demo_config(data_dir, batch=16, epochs=30 if fast else 300,
+                      lr=1e-3, out_label="lora", seed=3)
+    cfg.model.pretrained_model_name = str(base_ckpt)
+    cfg.training.lora.enabled = True
+    cfg.training.lora.rank = 16
+    cfg.training.lora.alpha = 1.0
+    # attention projections (the reference default surface) + the MLPs —
+    # rank-16 over attention alone cannot move conv-dominated color stats
+    cfg.training.lora.targets = [
+        r"attn\d/(to_q|to_k|to_v|to_out_0)", r"ff/(net_0/proj|net_2)"]
+    trainer, hist, wall = run_trainer(cfg, WORK / "lora", log)
+    ckpt = WORK / "lora" / "final_checkpoint"
+
+    # the exported checkpoint must carry both the adapter and a merged UNet
+    assert (ckpt / "pytorch_lora_weights.safetensors").exists()
+
+    # AFTER: reload the exported checkpoint from disk (proves the round
+    # trip) and sample the same prompt/seed
+    after_dir = ART / "samples_after_lora"
+    after = sample(ckpt, [prompt], after_dir, tiny=True, size=64)
+    s_after = max(concept_score(p, color) for p in after)
+    log(f"concept score '{prompt}': before {s_before:.4f} -> "
+        f"after {s_after:.4f}")
+
+    import jax
+    out = {
+        "concept": prompt,
+        "dataset_images": n,
+        "lora_rank": cfg.training.lora.rank,
+        "loss_first10_mean": float(np.mean(hist[:10])),
+        "loss_last10_mean": float(np.mean(hist[-10:])),
+        "steps_logged": len(hist),
+        "train_wall_seconds": round(wall, 1),
+        "concept_score_before": s_before,
+        "concept_score_after": s_after,
+        "loss_history": hist,
+        "backend": jax.default_backend(),
+    }
+    (ART / "lora.json").write_text(json.dumps(out, indent=1))
+    log(f"lora stage done -> {ART/'lora.json'}")
+    return out
+
+
+def stage_full_scale(log, steps: int = 300, image_size: int = 1024,
+                     n_images: int = 16):
+    """The SCALE proof: LoRA fine-tune over the full 2.567B-parameter SDXL
+    UNet at 1024x1024 on the real chip — the reference's literal workload
+    (``/root/reference/src/config.yaml:26-45``) through the real trainer.
+
+    Random-init weights (no pretrained SDXL exists in this environment —
+    see module docstring); everything else (memory plan, precompute,
+    compiles, per-step work) is byte-for-byte the real fine-tune."""
+    import jax
+    import jax.numpy as jnp
+    from sdxl_training_improvements_tpu.config import Config
+    from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
+
+    if jax.default_backend() == "cpu":
+        log("WARNING: full-scale stage on CPU will be extremely slow")
+
+    data_dir = WORK / "data_full"
+    n = make_dataset(data_dir, BASE_CONCEPTS + [NEW_CONCEPT],
+                     n_per=max(1, n_images // 4), seed=2, size=image_size)
+    log(f"full-scale dataset: {n} images at {image_size}^2")
+
+    cfg = Config()  # full SDXL defaults: ZTSNR schedule, 1024 buckets
+    # flow matching so the full-scale loss curve is readable (see
+    # demo_config); v-pred-from-random-init saturates the 1000.0 clamp
+    cfg.training.method = "flow_matching"
+    cfg.data.train_data_dir = [str(data_dir)]
+    cfg.data.image_size = image_size
+    cfg.training.batch_size = 1
+    cfg.training.gradient_accumulation_steps = 1
+    cfg.training.num_epochs = 10_000  # max_steps is the cap
+    cfg.training.max_steps = steps
+    cfg.training.save_every = 0
+    cfg.training.save_best = False
+    cfg.training.seed = 0
+    cfg.optimizer.optimizer_type = "adamw_bf16"
+    cfg.optimizer.learning_rate = 1e-4  # LoRA-only lr
+    cfg.training.lora.enabled = True
+    cfg.training.lora.rank = 16
+    cfg.global_config.cache.cache_dir = str(WORK / "cache_full")
+    cfg.global_config.logging.log_dir = str(WORK / "logs_full")
+    cfg.global_config.logging.log_every = 10
+    cfg.model.pretrained_model_name = "none"  # random init (documented)
+
+    t0 = time.perf_counter()
+    trainer, hist, wall = run_trainer(cfg, WORK / "full", log)
+    ckpt = WORK / "full" / "final_checkpoint"
+    n_unet = sum(x.size for x in jax.tree.leaves(
+        trainer.model.params["unet"]))
+    n_lora = sum(x.size for x in jax.tree.leaves(trainer.state.params))
+    mem = {}
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: int(v) for k, v in ms.items()
+               if k in ("bytes_in_use", "peak_bytes_in_use",
+                        "bytes_limit")}
+    except Exception:
+        pass
+
+    # reload the exported checkpoint through the inference pipeline (the
+    # deployment round trip at full scale)
+    from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+    pipe = SDXLPipeline.from_pretrained(ckpt)
+    assert "unet" in pipe.model.params
+    log("full-scale checkpoint reloaded through SDXLPipeline")
+    del pipe
+
+    out = {
+        "unet_params": int(n_unet),
+        "lora_trainable_params": int(n_lora),
+        "steps": steps,
+        "image_size": image_size,
+        "loss_first10_mean": float(np.mean(hist[:10])),
+        "loss_last10_mean": float(np.mean(hist[-10:])),
+        "loss_history": hist,
+        "train_wall_seconds": round(wall, 1),
+        "total_wall_seconds": round(time.perf_counter() - t0, 1),
+        "samples_per_sec": round(len(hist) * cfg.training.batch_size
+                                 / wall, 4) if wall else None,
+        "device_memory": mem,
+        "backend": jax.default_backend(),
+        "weights": "random-init (no pretrained SDXL available offline; "
+                   "mechanics identical to a real fine-tune)",
+    }
+    ART.mkdir(parents=True, exist_ok=True)
+    (ART / "full_scale.json").write_text(json.dumps(out, indent=1))
+    log(f"full-scale stage done -> {ART/'full_scale.json'}")
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--stage", default="all",
+                    choices=["pretrain", "lora", "all", "full-scale"])
+    ap.add_argument("--fast", action="store_true",
+                    help="tiny step counts (CI smoke, not evidence)")
+    ap.add_argument("--steps", type=int, default=300,
+                    help="full-scale stage step count")
+    ap.add_argument("--image-size", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    def log(msg):
+        print(f"[finetune_demo] {msg}", flush=True)
+
+    WORK.mkdir(parents=True, exist_ok=True)
+    ART.mkdir(parents=True, exist_ok=True)
+    if args.stage in ("pretrain", "all"):
+        stage_pretrain(log, fast=args.fast)
+    if args.stage in ("lora", "all"):
+        stage_lora(log, fast=args.fast)
+    if args.stage == "full-scale":
+        stage_full_scale(log, steps=args.steps,
+                         image_size=args.image_size)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -292,10 +292,14 @@ class TPUConfig:
     axis_names: List[str] = field(default_factory=lambda: ["data", "fsdp", "tensor"])
     shard_params: bool = False  # shard params+opt state over fsdp axis
     remat: bool = True  # gradient rematerialisation in the UNet
-    # full | dots_nobatch | dots — selective remat; "dots_nobatch"
-    # (dots_with_no_batch_dims_saveable) saves projection/conv matmuls and
-    # recomputes the S^2 attention logits; plain "dots" keeps the logits
-    # too and OOMs 16GB chips at 1024^2
+    # full | dots_nobatch | dots | dots_small | dots_small_attn — selective
+    # remat; "dots_nobatch" (dots_with_no_batch_dims_saveable) saves
+    # projection/conv matmuls and recomputes the S^2 attention logits;
+    # plain "dots" keeps the logits too and OOMs 16GB chips at 1024^2;
+    # "dots_small" thresholds the dot saves so batch 4 @1024^2 auto-fits;
+    # "dots_small_attn" additionally saves the named attention-core outputs
+    # so the remat backward never re-runs an attention forward
+    # (models/unet.py, docs/performance.md)
     remat_policy: str = "full"
     # attention implementation (ops/attention.py): "auto" = Pallas flash
     # when the Mosaic probe reports native execution, bounded-memory chunked

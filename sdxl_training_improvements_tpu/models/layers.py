@@ -17,6 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from sdxl_training_improvements_tpu.ops.attention import dot_product_attention
 from sdxl_training_improvements_tpu.ops.groupnorm import groupnorm_silu
@@ -122,18 +123,28 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb=None):
+        # "res_conv"/"gn_silu" names feed the size-thresholded remat save
+        # policies (models/unet.py): conv outputs and fused-GN outputs are
+        # custom-VJP/conv primitives the dot policies can't see, yet in the
+        # deep (32^2) stage they are ~10 MB bf16 each and their recompute
+        # is conv FLOPs + a full normalization reduction.  No-ops outside
+        # jax.checkpoint.
         in_ch = x.shape[-1]
         h = GroupNormSiLU(self.num_groups, self.eps, name="norm1")(x)
+        h = checkpoint_name(h, "gn_silu")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
+        h = checkpoint_name(h, "res_conv")
         if emb is not None:
             emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name="time_emb_proj")(nn.silu(emb))
             h = h + emb_out[:, None, None, :]
         h = GroupNormSiLU(self.num_groups, self.eps, name="norm2")(h)
+        h = checkpoint_name(h, "gn_silu")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
+        h = checkpoint_name(h, "res_conv")
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_shortcut")(x)
@@ -173,6 +184,19 @@ class Attention(nn.Module):
         v = v.reshape(b, t, self.num_heads, self.head_dim)
         out = dot_product_attention(q, k, v, impl=self.attn_impl,
                                     chunk_mb=self.attn_chunk_mb)
+        # named for the "dots_small_attn" remat policy (models/unet.py):
+        # saving the SELF-attention core output (~10-20 MB bf16 per layer
+        # at batch 4 @1024^2) lets the remat backward skip re-running the
+        # S^2 attention forward — the expensive recompute — while the
+        # chunked custom VJP still rebuilds probabilities blockwise inside
+        # its own backward.  Cross-attention cores ("attn_core_cross", NOT
+        # in the policy's save set) are cheap to recompute — the 77-token
+        # scores are [S,77] ~ 25 MB fp32 vs 320 MB+ for self-attention —
+        # and saving them too overflowed the 16 GB chip by 175 MB at
+        # batch 4 @1024^2 (measured 2026-08-19).  A no-op outside
+        # jax.checkpoint.
+        out = checkpoint_name(
+            out, "attn_core" if context is None else "attn_core_cross")
         out = out.reshape(b, s, inner)
         return dense("to_out_0", inner, True)(out)
 

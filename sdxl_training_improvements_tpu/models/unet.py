@@ -34,6 +34,42 @@ from sdxl_training_improvements_tpu.models.layers import (
     Transformer2DModel, Upsample2D, timestep_embedding)
 
 
+def _small_saves_policy(max_out_elements: int = 8 * 1024 * 1024,
+                        small_names: Tuple[str, ...] = (),
+                        always_names: Tuple[str, ...] = (),
+                        names_max_out_elements: Optional[int] = None,
+                        dots: bool = True):
+    """Remat policy: small non-batched dots + size-thresholded NAMED saves.
+
+    ``_small_dots_policy``'s prim matching only sees ``dot_general`` — conv
+    outputs and the fused-GN custom-VJP outputs are invisible to it, yet in
+    the deep (32^2) stage they are ~10 MB bf16 each while their recompute
+    costs conv FLOPs / a full normalization pass.  ``layers.py`` names them
+    ("res_conv", "gn_silu", "attn_core"); this policy saves a named value
+    when its size is under the same element threshold (``small_names``) or
+    unconditionally (``always_names``) — the 64^2/128^2-stage instances of
+    the same names stay rematerialised exactly like the big dots.
+    """
+    dots_policy = _small_dots_policy(max_out_elements) if dots else None
+    names_max = names_max_out_elements or max_out_elements
+
+    def policy(prim, *avals, **params) -> bool:
+        if prim.name == "name":
+            n = params.get("name")
+            if n in always_names:
+                return True
+            if n in small_names:
+                out = 1
+                for d in avals[0].shape:
+                    out *= d
+                return out <= names_max
+            return False
+        if dots_policy is None:
+            return False
+        return dots_policy(prim, *avals, **params)
+    return policy
+
+
 def _small_dots_policy(max_out_elements: int = 8 * 1024 * 1024):
     """Remat policy: save non-batched dot outputs only when SMALL.
 
@@ -354,6 +390,43 @@ class SDXLUNet(nn.Module):
                 # size-thresholded dots_nobatch: auto-fits batch 4 @1024^2
                 # on a 16GB chip (see _small_dots_policy)
                 "dots_small": _small_dots_policy(),
+                # dots_small + the named attention-core outputs
+                # (layers.py::Attention): with the core saved the remat
+                # backward skips re-running every attention forward — the
+                # recompute whose monolithic form materialises 320 MB fp32
+                # probs per deep layer — so every big site can use the
+                # bounded-memory chunked path (2 blockwise passes total)
+                # and the recompute tax drops to the cheap projections/
+                # elementwise.  ~850 MB of extra bf16 saves at batch 4
+                # @1024^2.
+                "dots_small_attn": jax.checkpoint_policies.
+                save_from_both_policies(
+                    _small_dots_policy(),
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_core")),
+                # dots_small + size-thresholded named saves (res_conv /
+                # gn_silu / attn_core, layers.py): the deep-stage conv,
+                # fused-GN, and attention-core outputs are ~10 MB bf16
+                # each and outside the dot policy's sight; saving them
+                # removes their recompute (conv FLOPs + normalization
+                # reductions) for ~400 MB of extra saves at batch 4
+                # @1024^2
+                "dots_small_conv": _small_saves_policy(
+                    small_names=("res_conv", "gn_silu", "attn_core")),
+                # the wide variant: named saves up to 12M elements so the
+                # 64^2-stage conv/GN/attention-core outputs (~21 MB bf16,
+                # 10.5M elements) are kept too, and the mid block saves its
+                # names as well (see _blocks) — ~600 MB more saves at
+                # batch 4 @1024^2 for the 64^2-stage conv + normalization
+                # recompute
+                "dots_small_conv_wide": _small_saves_policy(
+                    small_names=("res_conv", "gn_silu", "attn_core"),
+                    names_max_out_elements=12 * 1024 * 1024),
+                # conv + mid-block named saves, 8M threshold (the fallback
+                # between _conv and _conv_wide: +150 MB for the mid-block
+                # conv/GN/core recomputes)
+                "dots_small_conv_mid": _small_saves_policy(
+                    small_names=("res_conv", "gn_silu", "attn_core")),
             }
             if cfg.remat_policy not in policies:
                 raise ValueError(
@@ -363,7 +436,30 @@ class SDXLUNet(nn.Module):
             res_cls = nn.remat(ResnetBlock2D, policy=policy)
             tfm_cls = nn.remat(Transformer2DModel, policy=policy)
             mid_tfm_cls = tfm_cls
-            if cfg.remat_policy == "dots_small":
+            if cfg.remat_policy == "dots_small_attn":
+                # the mid block skips the dot saves (the batch-4 @1024^2
+                # budget, see the dots_small note below) but keeps the
+                # named attention-core saves — 10 x ~10 MB buys skipping
+                # all ten mid-block attention recomputes
+                mid_tfm_cls = nn.remat(
+                    Transformer2DModel,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "attn_core"))
+            if cfg.remat_policy in ("dots_small_conv_wide",
+                                    "dots_small_conv_mid"):
+                # mid block: the dot saves overflowed the batch-4 budget
+                # (round-3 note below) but the ~150 MB of named conv/GN/
+                # attention-core saves fit and skip the mid recomputes
+                mid_tfm_cls = nn.remat(
+                    Transformer2DModel,
+                    policy=_small_saves_policy(
+                        small_names=("res_conv", "gn_silu", "attn_core"),
+                        names_max_out_elements=(
+                            12 * 1024 * 1024
+                            if cfg.remat_policy == "dots_small_conv_wide"
+                            else None),
+                        dots=False))
+            if cfg.remat_policy in ("dots_small", "dots_small_conv"):
                 # spend the save budget on the down/up transformer stages
                 # only: with the mid block fully rematerialised the batch-4
                 # @1024^2 peak drops ~700 MB below the 16 GB chip (with all
@@ -434,7 +530,13 @@ class SDXLUNet(nn.Module):
         # @1024^2 dots_small: 1483 ms at 512 MB vs 1538 ms all-chunked,
         # tools/measure_r3.py, 2026-08-17); without remat, chunk everything big
         # (the 64 MB default: 273.5 vs 305.8 ms at b1).
-        chunk_mb = cfg.attn_chunk_mb or (512 if cfg.remat else None)
+        # Under dots_small_attn the saved attention-core outputs mean the
+        # remat recompute never re-runs attention, so the no-remat logic
+        # applies again: chunk every big site (64 MB default) — the only
+        # attention passes left are the chunked fwd and its blockwise VJP.
+        chunk_mb = cfg.attn_chunk_mb or (
+            512 if cfg.remat and cfg.remat_policy != "dots_small_attn"
+            else None)
 
         def make_tfm(ch, depth, name, cls=None):
             cls = tfm_cls if cls is None else cls

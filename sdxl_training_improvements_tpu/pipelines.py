@@ -27,6 +27,28 @@ from sdxl_training_improvements_tpu.training.validation import (
     ValidationSampler)
 
 
+def _read_ckpt_json(path: Path):
+    """Checkpoint-declaration reader with the loud-failure contract
+    (round-3 verdict #10): an ABSENT file is a plain diffusers export
+    (-> None, defaults apply); a PRESENT but unreadable/corrupt file is a
+    broken checkpoint and raises naming the file — silently falling back
+    to defaults would sample/train with the wrong topology or schedule."""
+    import json
+    if not path.exists():
+        return None
+    try:
+        raw = json.loads(path.read_text())
+    except OSError as e:
+        raise ValueError(f"unreadable checkpoint config {path}: {e}")
+    except ValueError as e:
+        raise ValueError(f"corrupt checkpoint config {path}: not valid "
+                         f"JSON ({e})")
+    if not isinstance(raw, dict):
+        raise ValueError(f"corrupt checkpoint config {path}: top level "
+                         f"must be a JSON object, got {type(raw).__name__}")
+    return raw
+
+
 class SDXLPipeline:
     def __init__(self, model: SDXLModel, tokenizers: TokenizerPair,
                  schedule: Optional[NoiseSchedule] = None,
@@ -53,13 +75,17 @@ class SDXLPipeline:
         """``training.method`` as the checkpoint's exported ``config.json``
         declares it (written by ``export_diffusers``), or None when the
         checkpoint predates the field / is a plain diffusers export."""
-        import json
-        cfg_path = Path(model_dir) / "config.json"
-        try:
-            raw = json.loads(cfg_path.read_text())
-            return raw.get("training", {}).get("method") or None
-        except (OSError, ValueError):
+        raw = _read_ckpt_json(Path(model_dir) / "config.json")
+        if raw is None:
             return None
+        t = raw.get("training")
+        if t is None:
+            return None
+        if not isinstance(t, dict):
+            raise ValueError(
+                f"corrupt checkpoint config {Path(model_dir)/'config.json'}:"
+                f" key 'training' must be a mapping, got {type(t).__name__}")
+        return t.get("method") or None
 
     @classmethod
     def detect_method(cls, model_dir) -> str:
@@ -77,34 +103,48 @@ class SDXLPipeline:
         Without this an epsilon-trained checkpoint (BASELINE config #1)
         would silently sample through the default v-prediction/ZTSNR
         composition — the wrong inverse of its training forward process."""
-        import json
         cfg_path = Path(model_dir) / "config.json"
-        try:
-            raw = json.loads(cfg_path.read_text())
-        except (OSError, ValueError):
+        raw = _read_ckpt_json(cfg_path)
+        if raw is None:
             return None
         m = raw.get("model") or {}
         t = raw.get("training") or {}
         if not isinstance(m, dict) or not isinstance(t, dict) or not m:
             return None
-        try:
-            kwargs = {}
-            for field_name, cast in (("num_timesteps", int),
-                                     ("sigma_min", float),
-                                     ("sigma_max", float),
-                                     ("rho", float),
-                                     ("use_ztsnr", bool)):
-                if m.get(field_name) is not None:
+        kwargs = {}
+        for field_name, cast in (("num_timesteps", int),
+                                 ("sigma_min", float),
+                                 ("sigma_max", float),
+                                 ("rho", float),
+                                 ("use_ztsnr", bool)):
+            if m.get(field_name) is not None:
+                try:
                     kwargs[field_name] = cast(m[field_name])
-            if "min_snr_gamma" in m:  # None is a valid (off) setting
-                g = m["min_snr_gamma"]
+                except (TypeError, ValueError):
+                    # a corrupted value must fail loudly with the key named,
+                    # not silently fall back to the default schedule — the
+                    # wrong sigma space samples garbage
+                    raise ValueError(
+                        f"corrupt checkpoint config {cfg_path}: "
+                        f"model.{field_name}={m[field_name]!r} is not a "
+                        f"valid {cast.__name__}")
+        if "min_snr_gamma" in m:  # None is a valid (off) setting
+            g = m["min_snr_gamma"]
+            try:
                 kwargs["min_snr_gamma"] = (None if g in (None, "None")
                                            else float(g))
-            if t.get("prediction_type"):
-                kwargs["prediction_type"] = str(t["prediction_type"])
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"corrupt checkpoint config {cfg_path}: "
+                    f"model.min_snr_gamma={g!r} is not a valid float")
+        if t.get("prediction_type"):
+            kwargs["prediction_type"] = str(t["prediction_type"])
+        try:
             return NoiseSchedule.create(**kwargs)
-        except (TypeError, ValueError):
-            return None
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"checkpoint config {cfg_path} declares an invalid "
+                f"schedule ({kwargs}): {e}")
 
     @staticmethod
     def declared_unet_config(model_dir):
@@ -113,12 +153,9 @@ class SDXLPipeline:
         by diffusers itself), or None when absent — the path that makes
         refiner / inpainting / any conditioned-variant checkpoints load
         without out-of-band flags."""
-        import json
         from sdxl_training_improvements_tpu.models.unet import UNetConfig
-        cfg_path = Path(model_dir) / "unet" / "config.json"
-        try:
-            raw = json.loads(cfg_path.read_text())
-        except (OSError, ValueError):
+        raw = _read_ckpt_json(Path(model_dir) / "unet" / "config.json")
+        if raw is None:
             return None
         return UNetConfig.from_diffusers_config(raw)
 

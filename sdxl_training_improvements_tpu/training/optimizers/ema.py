@@ -36,9 +36,14 @@ def with_ema(inner: optax.GradientTransformation, decay: float = 0.9999,
     """
 
     def init(params):
+        # jnp.array(copy=True), NOT astype: astype on an already-fp32 leaf
+        # returns the SAME buffer, and an EMA state aliasing the params
+        # breaks buffer donation of the train state (XLA rejects
+        # `f(donate(a), a)`) — caught by the multichip dryrun matrix
         return EMAState(
             inner=inner.init(params),
-            ema=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+            ema=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True),
+                             params),
             count=jnp.zeros((), jnp.int32))
 
     def update(grads, state, params=None):

@@ -22,6 +22,9 @@ from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
 from sdxl_training_improvements_tpu.models.unet import UNetConfig
 from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
 
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def base_model():

@@ -249,3 +249,97 @@ class TestAsyncCheckpointing:
         with pytest.raises(Exception):
             C.wait_for_saves()
         C.wait_for_saves()  # queue drained; next wait is clean
+
+
+class TestAdversarialLoading:
+    """Round-3 verdict #10: checkpoint-declared topology loading must fail
+    LOUDLY, naming the offending file/key — never fall back to defaults on
+    a present-but-corrupt declaration."""
+
+    def _export(self, tiny_model, tmp_path):
+        ckpt = tmp_path / "ckpt"
+        C.export_diffusers(ckpt, tiny_model.params, Config(),
+                           unet_config=tiny_model.unet_config)
+        return ckpt
+
+    def test_corrupt_config_json_raises(self, tiny_model, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ckpt = self._export(tiny_model, tmp_path)
+        (ckpt / "config.json").write_text("{not json")
+        with pytest.raises(ValueError, match="config.json.*not valid JSON"):
+            SDXLPipeline.declared_method(ckpt)
+        with pytest.raises(ValueError, match="not valid JSON"):
+            SDXLPipeline.from_pretrained(ckpt, tiny=True)
+
+    def test_config_json_wrong_type_raises(self, tiny_model, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ckpt = self._export(tiny_model, tmp_path)
+        (ckpt / "config.json").write_text(json.dumps([1, 2]))
+        with pytest.raises(ValueError, match="JSON object"):
+            SDXLPipeline.declared_method(ckpt)
+        (ckpt / "config.json").write_text(json.dumps({"training": "ddpm"}))
+        with pytest.raises(ValueError, match="'training' must be a mapping"):
+            SDXLPipeline.declared_method(ckpt)
+
+    def test_corrupt_schedule_field_names_key(self, tiny_model, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ckpt = self._export(tiny_model, tmp_path)
+        raw = json.loads((ckpt / "config.json").read_text())
+        raw["model"]["sigma_max"] = "twenty-thousand"
+        (ckpt / "config.json").write_text(json.dumps(raw))
+        with pytest.raises(ValueError, match="model.sigma_max"):
+            SDXLPipeline.declared_schedule(ckpt)
+
+    def test_corrupt_unet_config_json_raises(self, tiny_model, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ckpt = self._export(tiny_model, tmp_path)
+        (ckpt / "unet" / "config.json").write_text("]]")
+        with pytest.raises(ValueError, match="unet.*config.json"):
+            SDXLPipeline.declared_unet_config(ckpt)
+
+    def test_absent_config_json_is_fine(self, tiny_model, tmp_path):
+        """A plain diffusers export (no framework config.json) keeps
+        loading with defaults — absence is not corruption."""
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ckpt = self._export(tiny_model, tmp_path)
+        (ckpt / "config.json").unlink()
+        assert SDXLPipeline.declared_method(ckpt) is None
+        assert SDXLPipeline.declared_schedule(ckpt) is None
+
+    def test_method_mismatch_refused(self, tiny_model, tmp_path):
+        from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
+        ckpt = self._export(tiny_model, tmp_path)
+        raw = json.loads((ckpt / "config.json").read_text())
+        raw.setdefault("training", {})["method"] = "flow_matching"
+        (ckpt / "config.json").write_text(json.dumps(raw))
+        with pytest.raises(ValueError, match="refusing to sample"):
+            SDXLPipeline.from_pretrained(ckpt, tiny=True, method="ddpm")
+
+    def test_lora_orphan_half_raises(self, tiny_model, tmp_path):
+        """A LoRA file carrying only lora_A (no lora_B) for a module must
+        fail at import with the module named."""
+        from safetensors.numpy import save_file
+        from sdxl_training_improvements_tpu.models.lora import lora_init
+        tree = lora_init(tiny_model.params["unet"], jax.random.key(0),
+                         rank=2, targets=[r"attn\d/to_q"])
+        path = tmp_path / "adapter"
+        C.export_lora(path, tree, rank=2, alpha=1.0)
+        f = path / "pytorch_lora_weights.safetensors"
+        state = __import__("safetensors.numpy", fromlist=["load_file"]
+                           ).load_file(str(f))
+        orphaned = {k: v for k, v in state.items()
+                    if not k.endswith(".lora_B.weight")}
+        assert len(orphaned) < len(state)
+        save_file(orphaned, str(f))
+        with pytest.raises(ValueError, match="missing lora_A or lora_B"):
+            C.import_lora(f, tiny_model.params["unet"])
+
+    def test_lora_unknown_module_raises(self, tiny_model, tmp_path):
+        from safetensors.numpy import save_file
+        f = tmp_path / "bogus.safetensors"
+        save_file({"unet.nonexistent.module.lora_A.weight":
+                   np.zeros((2, 4), np.float32),
+                   "unet.nonexistent.module.lora_B.weight":
+                   np.zeros((4, 2), np.float32)}, str(f))
+        with pytest.raises(KeyError, match="matches no kernel"):
+            C.import_lora(f, tiny_model.params["unet"])

@@ -17,7 +17,12 @@ from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
 from sdxl_training_improvements_tpu.models.tokenizer import TokenizerPair
 from sdxl_training_improvements_tpu.training import schedules as S
 from sdxl_training_improvements_tpu.training.validation import (
+
     ValidationSampler)
+
+
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

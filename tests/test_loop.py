@@ -13,7 +13,12 @@ from sdxl_training_improvements_tpu.core.logging import (
 from sdxl_training_improvements_tpu.core.profiling import (
     ThroughputMonitor, device_memory_stats)
 from sdxl_training_improvements_tpu.models.tokenizer import (
+
     HashTokenizer, TokenizerPair)
+
+
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
 
 
 class TestLogging:

@@ -15,6 +15,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 torch = pytest.importorskip("torch")

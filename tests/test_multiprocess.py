@@ -19,6 +19,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
+
 WORKER = Path(__file__).parent / "mp_worker.py"
 NPROCS = 2
 

@@ -681,6 +681,25 @@ class TestEMA:
         opt = with_ema(optax.sgd(0.1), decay=0.5, warmup=False)
         return opt, params
 
+    def test_init_never_aliases_fp32_params(self):
+        """astype(fp32) on fp32 params returns the SAME buffer; an EMA
+        state aliasing the params breaks train-state donation
+        (XLA rejects `f(donate(a), a)`) — regression for the multichip
+        dryrun matrix failure."""
+        opt, params = self._setup()
+        state = opt.init(params)  # params are fp32 in _setup
+        assert state.ema["w"] is not params["w"]
+        # and donation of (params, opt_state) together must compile
+        import optax
+
+        def step(p, s):
+            g = jax.tree.map(jnp.ones_like, p)
+            u, s2 = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s2
+
+        p2, s2 = jax.jit(step, donate_argnums=(0, 1))(params, state)
+        assert np.isfinite(np.asarray(p2["w"])).all()
+
     def test_tracks_average(self):
         opt, params = self._setup()
         state = opt.init(params)

@@ -21,6 +21,9 @@ from sdxl_training_improvements_tpu.models.unet import UNetConfig
 from sdxl_training_improvements_tpu.pipelines import SDXLPipeline
 from sdxl_training_improvements_tpu.training import schedules as S
 
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def base_model():

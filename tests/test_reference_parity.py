@@ -10,6 +10,9 @@ import sys
 import numpy as np
 import pytest
 
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 
 

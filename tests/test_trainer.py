@@ -14,8 +14,13 @@ from sdxl_training_improvements_tpu.training.methods import (
 from sdxl_training_improvements_tpu.training.optimizers import make_optimizer
 from sdxl_training_improvements_tpu.training.schedules import NoiseSchedule
 from sdxl_training_improvements_tpu.training.trainer import (
+
     TrainState, create_train_state, make_train_step, shard_batch,
     shard_train_state)
+
+
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -6,6 +6,9 @@ import pytest
 
 from sdxl_training_improvements_tpu.models.unet import SDXLUNet, UNetConfig
 
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

@@ -12,7 +12,12 @@ from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
 from sdxl_training_improvements_tpu.models.tokenizer import TokenizerPair
 from sdxl_training_improvements_tpu.training.schedules import NoiseSchedule
 from sdxl_training_improvements_tpu.training.validation import (
+
     ValidationLogger, ValidationSampler, latents_to_images, validation_loss)
+
+
+# fast lane: `pytest -m "not slow"` (compile-heavy module, README: Testing)
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

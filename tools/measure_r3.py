@@ -184,6 +184,36 @@ FWD_CASES = {
     "b1_1536_flash_ms": dict(  # explicit flash everywhere + fused GN
         batch=1, remat=False, remat_policy="full", attn_impl="flash",
         steps=6, warmup=2, hw=192),
+    # round-4 (verdict #3): dots_small + saved attention-core outputs —
+    # the remat backward skips every attention fwd recompute, so all big
+    # sites run the bounded-memory chunked path (auto threshold drops back
+    # to 64 MB under this policy, models/unet.py)
+    "b4_dotssmallattn_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_attn",
+        attn_impl="auto", steps=6, warmup=2),
+    "b4_dotssmallattn_auto512_ms": dict(  # monolithic deep sites kept
+        batch=4, remat=True, remat_policy="dots_small_attn",
+        attn_impl="auto", steps=6, warmup=2,
+        env={"SDXL_TPU_ATTN_CHUNK_MB": "512"}),
+    "b1_dotssmallattn_auto_ms": dict(
+        batch=1, remat=True, remat_policy="dots_small_attn",
+        attn_impl="auto", steps=10, warmup=3),
+    # round-4: dots_small + size-thresholded named saves (res_conv/gn_silu/
+    # attn_core) — removes the deep-stage conv + normalization recompute
+    # for ~400 MB of extra bf16 saves; attention dispatch unchanged vs the
+    # dots_small baseline (512 MB remat threshold)
+    "b4_dotssmallconv_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv",
+        attn_impl="auto", steps=6, warmup=2),
+    "b1_dotssmallconv_auto_ms": dict(
+        batch=1, remat=True, remat_policy="dots_small_conv",
+        attn_impl="auto", steps=10, warmup=3),
+    "b4_dotssmallconvwide_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv_wide",
+        attn_impl="auto", steps=6, warmup=2),
+    "b4_dotssmallconvmid_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv_mid",
+        attn_impl="auto", steps=6, warmup=2),
 }
 
 

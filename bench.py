@@ -262,7 +262,9 @@ def bench_optimizer_full_scale(cfg, hw, n_chunks=3, steps=5, warmup=2,
     return total_sec, total_params
 
 
-def bench_single_program_full_step(cfg, hw, steps=6, warmup=2):
+def bench_single_program_full_step(cfg, hw, steps=6, warmup=2,
+                                   batch=1, accum=1,
+                                   name="single_program_full_step"):
     """Round-4 verdict #2: the WHOLE train step — fwd+bwd+clip+bf16-SR
     update over all params — executed as ONE jitted program on this chip
     (no composition).  What makes 2.567B params fit in 16 GB:
@@ -271,10 +273,15 @@ def bench_single_program_full_step(cfg, hw, steps=6, warmup=2):
       instead of 10.3),
     * ``optimizer.shift_host``    — the SR shift tree in pinned host
       memory, streamed leaf-by-leaf through HBM inside the program,
-    * ``tpu.grad_accum_dtype=bfloat16`` + accum 1 — no fp32 grad
-      accumulator tree (the accum-1 path feeds grads straight to
+    * ``tpu.grad_accum_dtype=bfloat16`` — bf16 grad accumulator (at
+      accum 1 no accumulator tree at all: grads flow straight to
       clip+update), and
     * buffer donation of the whole state.
+
+    ``batch``/``accum`` select the workload: (1, 1) is the tightest-memory
+    composition check; (4, 4) is the reference's LITERAL recipe
+    (``config.yaml:26-33``) as one program — grad-accum scan over 4
+    micro-steps of batch 4 + clip + update.
 
     Returns a dict row.  This is the production ``make_train_step`` path,
     not a bench-only re-implementation.  Reference per-step behavior:
@@ -291,18 +298,18 @@ def bench_single_program_full_step(cfg, hw, steps=6, warmup=2):
 
     config = Config()
     config.training.method = "ddpm"
-    config.training.batch_size = 1
-    config.training.gradient_accumulation_steps = 1
+    config.training.batch_size = batch
+    config.training.gradient_accumulation_steps = accum
     config.optimizer.optimizer_type = "adamw_bf16"
     config.optimizer.moments_8bit = True
     config.optimizer.shift_host = True
     config.tpu.grad_accum_dtype = "bfloat16"
 
     model = SDXLUNet(config=cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    sample = jnp.zeros((1, cfg.in_channels, hw, hw), jnp.bfloat16)
-    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim), jnp.bfloat16)
-    pooled = jnp.zeros((1, cfg.pooled_embed_dim), jnp.bfloat16)
-    time_ids = jnp.zeros((1, 6), jnp.float32)
+    sample = jnp.zeros((batch, cfg.in_channels, hw, hw), jnp.bfloat16)
+    ctx = jnp.zeros((batch, 77, cfg.cross_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((batch, cfg.pooled_embed_dim), jnp.bfloat16)
+    time_ids = jnp.zeros((batch, 6), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), sample,
                                  jnp.zeros((1,), jnp.int32), ctx, pooled,
                                  time_ids)
@@ -317,28 +324,30 @@ def bench_single_program_full_step(cfg, hw, steps=6, warmup=2):
     state = create_train_state(params, opt)
     del params
 
-    batch = {
-        "vae_latents": jax.random.normal(jax.random.key(1),
-                                         sample.shape, jnp.float32),
-        "prompt_embeds": ctx,
-        "pooled_prompt_embeds": pooled,
-        "time_ids": time_ids,
+    g = batch * accum  # the step consumes the GLOBAL batch (scan re-tiles)
+    batch_dict = {
+        "vae_latents": jax.random.normal(
+            jax.random.key(1), (g,) + sample.shape[1:], jnp.float32),
+        "prompt_embeds": jnp.zeros((g,) + ctx.shape[1:], ctx.dtype),
+        "pooled_prompt_embeds": jnp.zeros((g,) + pooled.shape[1:],
+                                          pooled.dtype),
+        "time_ids": jnp.zeros((g, 6), jnp.float32),
     }
     for _ in range(warmup):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, batch_dict)
     jax.block_until_ready(state.params)
     start = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step(state, batch)
+        state, metrics = step(state, batch_dict)
     jax.block_until_ready(state.params)
     sec = (time.perf_counter() - start) / steps
     loss = float(metrics["loss"])
     del state
     return {
-        "name": "single_program_full_step",
-        "micro_batch": 1, "grad_accum": 1,
+        "name": name,
+        "micro_batch": batch, "grad_accum": accum,
         "ms_per_step": round(sec * 1e3, 1),
-        "samples_per_s": round(1.0 / sec, 4),
+        "samples_per_s": round(g / sec, 4),
         "loss_finite": bool(loss == loss and abs(loss) != float("inf")),
         "memory_plan": "moments_8bit + shift_host(pinned_host DMA) + "
                        "bf16 grads + donation",
@@ -559,21 +568,24 @@ def main():
     #   gradients over the same 16 samples (equal up to fp32 summation
     #   order), runs WITHOUT remat — 273.5 ms/sample, the production
     #   recipe for 16 GB-class chips (headline);
-    # * literal batch 4 x accum 4: needs remat (dots_small auto-fit
-    #   policy) — 370 ms/sample;
+    # * literal batch 4 x accum 4: needs remat — dots_small_conv10 (10M
+    #   dot threshold so the 64^2-stage projections join the saves + named
+    #   res_conv/gn_silu/attn_core saves) measured 1351.7 ms/step vs
+    #   dots_small_conv 1365.1 and dots_small 1395.8 (tools/measure_r3.py,
+    #   2026-08-19);
     # each workload row names its micro-batch HLO and its accum count.
     if on_tpu:
         hw, steps, warmup, chunks = 128, 10, 3, 3
         cases = {  # micro-batch HLOs actually measured
             "b1_nomat": dict(batch=1, remat=False, remat_policy="full",
                              attn_impl="auto"),
-            "b4_dots_small": dict(batch=4, remat=True,
-                                  remat_policy="dots_small",
-                                  attn_impl="auto"),
+            "b4_dots_small_conv10": dict(batch=4, remat=True,
+                                         remat_policy="dots_small_conv10",
+                                         attn_impl="auto"),
         }
         workloads = [
             ("reference_default_b4xa4_as_micro1_accum16", "b1_nomat", 16),
-            ("reference_default_b4xa4_literal", "b4_dots_small", 4),
+            ("reference_default_b4xa4_literal", "b4_dots_small_conv10", 4),
             ("batch1_accum4", "b1_nomat", 4),
         ]
     else:  # CPU smoke fallback so the script always emits a line
@@ -665,6 +677,17 @@ def main():
             log(f"  {rows[-1]}")
         except Exception as e:
             rows.append({"name": "single_program_full_step",
+                         "error": repr(e)[:300]})
+            log(f"  failed: {repr(e)[:200]}")
+        log("literal b4xa4 recipe as ONE program (dots_small_conv10) ...")
+        try:
+            rows.append(bench_single_program_full_step(
+                mkcfg(remat=True, remat_policy="dots_small_conv10",
+                      attn_impl="auto"), hw, batch=4, accum=4,
+                name="single_program_literal_b4xa4"))
+            log(f"  {rows[-1]}")
+        except Exception as e:
+            rows.append({"name": "single_program_literal_b4xa4",
                          "error": repr(e)[:300]})
             log(f"  failed: {repr(e)[:200]}")
         log("composition additivity check (reduced UNet, all-resident) ...")

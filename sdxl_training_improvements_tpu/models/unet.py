@@ -38,7 +38,8 @@ def _small_saves_policy(max_out_elements: int = 8 * 1024 * 1024,
                         small_names: Tuple[str, ...] = (),
                         always_names: Tuple[str, ...] = (),
                         names_max_out_elements: Optional[int] = None,
-                        dots: bool = True):
+                        dots: bool = True,
+                        name_thresholds: Optional[dict] = None):
     """Remat policy: small non-batched dots + size-thresholded NAMED saves.
 
     ``_small_dots_policy``'s prim matching only sees ``dot_general`` — conv
@@ -58,11 +59,13 @@ def _small_saves_policy(max_out_elements: int = 8 * 1024 * 1024,
             n = params.get("name")
             if n in always_names:
                 return True
-            if n in small_names:
+            cap = (name_thresholds or {}).get(
+                n, names_max if n in small_names else None)
+            if cap is not None:
                 out = 1
                 for d in avals[0].shape:
                     out *= d
-                return out <= names_max
+                return out <= cap
             return False
         if dots_policy is None:
             return False
@@ -427,6 +430,22 @@ class SDXLUNet(nn.Module):
                 # conv/GN/core recomputes)
                 "dots_small_conv_mid": _small_saves_policy(
                     small_names=("res_conv", "gn_silu", "attn_core")),
+                # conv saves at 8M + attention cores at 12M: the 64^2-stage
+                # cores (10.5M elements, ~21 MB bf16 each) are kept too, so
+                # NO attention forward is ever recomputed and the
+                # dots_small_attn chunk rule applies (chunk every big site;
+                # the only attention passes are the chunked fwd + blockwise
+                # VJP).  ~210 MB more saves than dots_small_conv at batch 4
+                # @1024^2 — the attn-only slice of the _wide variant that
+                # OOMed with the conv/GN names included.
+                "dots_small_conv_attnwide": _small_saves_policy(
+                    small_names=("res_conv", "gn_silu", "attn_core"),
+                    name_thresholds={"attn_core": 12 * 1024 * 1024}),
+                # dots_small_conv with a 10M dot threshold: the 64^2-stage
+                # projection outputs (10.5M elements) join the saves
+                "dots_small_conv10": _small_saves_policy(
+                    max_out_elements=10 * 1024 * 1024 + 512 * 1024,
+                    small_names=("res_conv", "gn_silu", "attn_core")),
             }
             if cfg.remat_policy not in policies:
                 raise ValueError(
@@ -459,7 +478,9 @@ class SDXLUNet(nn.Module):
                             if cfg.remat_policy == "dots_small_conv_wide"
                             else None),
                         dots=False))
-            if cfg.remat_policy in ("dots_small", "dots_small_conv"):
+            if cfg.remat_policy in ("dots_small", "dots_small_conv",
+                                    "dots_small_conv_attnwide",
+                                    "dots_small_conv10"):
                 # spend the save budget on the down/up transformer stages
                 # only: with the mid block fully rematerialised the batch-4
                 # @1024^2 peak drops ~700 MB below the 16 GB chip (with all
@@ -535,7 +556,8 @@ class SDXLUNet(nn.Module):
         # applies again: chunk every big site (64 MB default) — the only
         # attention passes left are the chunked fwd and its blockwise VJP.
         chunk_mb = cfg.attn_chunk_mb or (
-            512 if cfg.remat and cfg.remat_policy != "dots_small_attn"
+            512 if cfg.remat and cfg.remat_policy not in
+            ("dots_small_attn", "dots_small_conv_attnwide")
             else None)
 
         def make_tfm(ch, depth, name, cls=None):

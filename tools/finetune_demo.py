@@ -172,6 +172,36 @@ def pretrain_vae(img_dir: Path, steps: int, batch: int, lr: float,
     return params, curve
 
 
+def vae_recon_check(vae_params, concept, log):
+    """Round-trip a fresh image of ``concept`` through the trained VAE and
+    report recon mse + concept-color pixel fraction — evidence the codec can
+    represent the held-out concept (the published-SDXL-VAE property the
+    LoRA stage depends on)."""
+    import jax.numpy as jnp
+    from sdxl_training_improvements_tpu.models.vae import (
+        AutoencoderKL, VAEConfig)
+    color, shape = concept
+    rng = np.random.default_rng(123)
+    img = _draw(color, shape, rng)
+    px = np.transpose(
+        np.asarray(img, np.float32) / 127.5 - 1.0, (2, 0, 1))[None]
+    vae = AutoencoderKL(VAEConfig.tiny())
+    mean, _ = vae.apply(vae_params, jnp.asarray(px), method=vae.moments)
+    recon = np.asarray(vae.apply(
+        vae_params, mean * vae.config.scaling_factor, method=vae.decode))
+    mse = float(np.mean(np.square(recon - px)))
+    arr = np.clip((np.transpose(recon[0], (1, 2, 0)) + 1.0) * 127.5,
+                  0, 255)
+    target = np.asarray(COLORS[color], np.float32)
+    frac = float((np.linalg.norm(arr - target, axis=-1) < 90.0).mean())
+    src = float((np.linalg.norm(
+        np.asarray(img, np.float32) - target, axis=-1) < 90.0).mean())
+    log(f"  vae held-out '{color} {shape}' recon: mse {mse:.5f}, "
+        f"{color} pixel fraction {frac:.4f} (source {src:.4f})")
+    return {"concept": f"a {color} {shape}", "recon_mse": mse,
+            "recon_color_fraction": frac, "source_color_fraction": src}
+
+
 # ------------------------------------------------------------- config glue
 
 def demo_config(data_dir: Path, *, batch: int, epochs: int, lr: float,
@@ -216,13 +246,17 @@ def run_trainer(cfg, out_dir: Path, log, model=None):
     from sdxl_training_improvements_tpu.training.loop import SDXLTrainer
     trainer = SDXLTrainer(cfg, model=model, output_dir=str(out_dir),
                           use_mesh=False)
-    # record every step's loss: the logger's tracker keeps full history
+    # record every step's loss: the logger's tracker keeps full history.
+    # LogManager is a process-wide singleton registry, so a second stage in
+    # the same process gets the SAME tracker — slice off whatever history
+    # earlier stages already logged or the curves contaminate each other.
     trainer.logger.metrics.keep_history = True
+    start = len(trainer.logger.metrics.get_history("loss"))
     trainer.prepare_data()
     t0 = time.perf_counter()
     trainer.train()
     wall = time.perf_counter() - t0
-    hist = trainer.logger.metrics._history.get("loss", [])
+    hist = trainer.logger.metrics.get_history("loss")[start:]
     log(f"  {len(hist)} logged losses over {wall:.0f}s; "
         f"first {hist[0]:.4f} -> last {hist[-1]:.4f}" if hist else
         f"  trained in {wall:.0f}s (no loss history)")
@@ -261,9 +295,20 @@ def stage_pretrain(log, fast: bool = False):
                      seed=0)
     log(f"base dataset: {n} images x 3 concepts at {data_dir}")
 
+    # The VAE plays the role of SDXL-base's PUBLISHED VAE: a general image
+    # codec that can represent anything, including concepts the diffusion
+    # model has never seen.  Pretrain it on ALL colors (incl. the held-out
+    # green) so the held-out-ness lives ONLY in the diffusion model, exactly
+    # as in a real SDXL fine-tune.  The diffusion base training below still
+    # sees only the three base concepts.
+    vae_data = WORK / "data_vae"
+    n_vae = make_dataset(vae_data, BASE_CONCEPTS + [NEW_CONCEPT],
+                         n_per=16 if fast else 48, seed=5)
+    log(f"vae codec dataset: {n_vae} images x 4 concepts (incl. held-out)")
     vae_params, vae_curve = pretrain_vae(
-        data_dir, steps=200 if fast else 1500, batch=16, lr=2e-3, seed=0,
+        vae_data, steps=200 if fast else 1500, batch=16, lr=2e-3, seed=0,
         log=log)
+    green_recon = vae_recon_check(vae_params, NEW_CONCEPT, log)
 
     # assemble the bundle: trained VAE + random UNet/CLIPs, export as the
     # "pretrained" starting checkpoint so the trainer's import path runs
@@ -299,6 +344,7 @@ def stage_pretrain(log, fast: bool = False):
         "diffusion_steps_logged": len(hist),
         "train_wall_seconds": round(wall, 1),
         "base_concept_scores": scores,
+        "vae_heldout_recon": green_recon,
         "loss_history": hist,
         "backend": jax.default_backend(),
     }

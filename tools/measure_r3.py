@@ -214,6 +214,15 @@ FWD_CASES = {
     "b4_dotssmallconvmid_auto_ms": dict(
         batch=4, remat=True, remat_policy="dots_small_conv_mid",
         attn_impl="auto", steps=6, warmup=2),
+    # round-4 follow-ups on the literal-row policy: keep the 64^2-stage
+    # attention cores too (no attention fwd recompute at all, chunk rule
+    # applies), and a 10M dot threshold (64^2-stage projections join saves)
+    "b4_dotssmallconvattnwide_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv_attnwide",
+        attn_impl="auto", steps=6, warmup=2),
+    "b4_dotssmallconv10_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv10",
+        attn_impl="auto", steps=6, warmup=2),
 }
 
 

@@ -61,6 +61,12 @@ def _code_np(signed: bool) -> np.ndarray:
 
 
 def _code(signed: bool) -> jnp.ndarray:
+    # NOT lru-cached: jnp.asarray inside a trace stages a device_put, so a
+    # cached result would leak a tracer across traces.  Constant-duplication
+    # pressure (one dense 256-float constant per call site; once ~3,400
+    # copies = 45 MB of StableHLO over a 1,700-leaf optimizer update,
+    # measured 2026-08-19) is instead bounded by adamw_bf16's nested-jit
+    # leaf kernels: one call site per distinct leaf (shape, dtype).
     return jnp.asarray(_code_np(signed))
 
 

@@ -84,7 +84,8 @@ def _make_base(oc, flat_state: bool = False,
         moments = "int8" if getattr(oc, "moments_8bit", False) else "bf16"
         return adamw_bf16(**common, flat_state=flat_state, noise=sr_noise,
                           moments=moments,
-                          shift_host=getattr(oc, "shift_host", False))
+                          shift_host=getattr(oc, "shift_host", False),
+                          moments_host=getattr(oc, "moments_host", False))
     if kind == "adamw_schedule_free_kahan":
         return adamw_schedule_free_kahan(
             **common, warmup_steps=oc.warmup_steps, kahan_sum=oc.kahan_sum,

@@ -115,7 +115,8 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
                flat_state: bool = False, flat_groups: int = 8,
                noise: Optional[str] = None, layout: Optional[str] = None,
                hybrid_threshold: int = 1 << 20, moments: str = "bf16",
-               shift_host: bool = False
+               shift_host: bool = False, moments_host: bool = False,
+               stream_group_params: int = 1 << 25
                ) -> optax.GradientTransformation:
     """Build the transform.  ``update(grads, state, params)`` returns the
     *delta* to add to params (optax convention: ``p += updates``).
@@ -148,6 +149,9 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
     if shift_host and layout != "per_leaf":
         raise ValueError("shift_host requires layout='per_leaf' "
                          f"(got layout={layout!r})")
+    if moments_host and layout != "per_leaf":
+        raise ValueError("moments_host requires layout='per_leaf' "
+                         f"(got layout={layout!r})")
 
     # ``shift_host``: the SR shift tree lives in pinned host memory and is
     # streamed through HBM one leaf at a time inside the jitted update —
@@ -160,21 +164,31 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
         from jax.sharding import SingleDeviceSharding
         return SingleDeviceSharding(jax.devices()[0], memory_kind=kind)
 
-    def _shift_to_host(x):
-        if not shift_host:
-            return x
+    def _host_put(x):
         try:
             return jax.device_put(x, _shift_mem("pinned_host"))
         except Exception:  # backend without pinned_host: stay resident
             return x
 
-    def _shift_to_device(x):
-        if not shift_host:
-            return x
+    def _dev_put(x):
         try:
             return jax.device_put(x, _shift_mem("device"))
         except Exception:
             return x
+
+    _shift_to_host = _host_put if shift_host else (lambda x: x)
+    _shift_to_device = _dev_put if shift_host else (lambda x: x)
+
+    # ``moments_host``: like shift_host but for the m/v trees (works with
+    # bf16 or int8 moments; int8 is the intended pairing — 1 state byte per
+    # param each way over PCIe instead of 2).  With shift_host this drops
+    # the update's resident HBM to params+grads only, which is what lets
+    # the FULL fwd+bwd+clip+update run as one program on the 16 GB chip:
+    # params 5.13 GB + grads 5.13 GB resident, everything else streamed
+    # leaf-group by leaf-group (see the barrier pipeline in
+    # ``update_per_leaf``).
+    _mom_to_host = _host_put if moments_host else (lambda x: x)
+    _mom_to_device = _dev_put if moments_host else (lambda x: x)
 
     def _validate(leaves):
         for p in leaves:
@@ -256,6 +270,38 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
     # and re-quantizes; fp32 (norm) leaves and the SR shift stay exact.
     quantized = moments == "int8"
 
+    # Nested-jit leaf kernels: the per-leaf update math is emitted once per
+    # distinct (shape, dtype) signature — StableHLO `func.call`s into shared
+    # functions — instead of being inlined ~1,700 times into the outer step
+    # jaxpr.  Measured 13.5x StableHLO reduction at SDXL scale (the full
+    # int8 update lowered to 45 MB of MLIR uncached, 2026-08-19), which is
+    # what lets bench.py's single-program full step compile at all.  XLA
+    # inlines the calls during HLO optimization, so the executed program is
+    # unchanged.  The pinned-host shift transfers stay OUTSIDE these
+    # kernels (memory-kind device_put stays in the outer trace).
+    @jax.jit
+    def _f32_leaf_kernel(p, g, m, v, cur_lr, denom_correction):
+        m, v = f32_update(p, g, m, v)
+        return f32_delta(p, m, v, cur_lr, denom_correction), m, v
+
+    @jax.jit
+    def _bf16_leaf_kernel(p, g, m, v, shift, acc_decay, key, cur_lr,
+                          denom_correction):
+        return bf16_update(p, g, m, v, shift, acc_decay, key, cur_lr,
+                           denom_correction)
+
+    @jax.jit
+    def _bf16_q_leaf_kernel(p, g, m, v, shift, acc_decay, key, cur_lr,
+                            denom_correction):
+        from sdxl_training_improvements_tpu.ops.quantize import (
+            dequantize_8bit, quantize_8bit)
+        delta, m2, v2, shift, acc = bf16_update(
+            p, g, dequantize_8bit(m, signed=True),
+            dequantize_8bit(v, signed=False), shift, acc_decay,
+            key, cur_lr, denom_correction)
+        return (delta, quantize_8bit(m2, signed=True),
+                quantize_8bit(v2, signed=False), shift, acc)
+
     def _m_init(p):
         if quantized and p.dtype == jnp.bfloat16:
             from sdxl_training_improvements_tpu.ops.quantize import (
@@ -282,8 +328,9 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             treedef, [phases[i] for i in range(len(leaves))])
         return AdamWBF16State(
             step=jnp.zeros((), jnp.int32),
-            exp_avg=jax.tree.map(_m_init, params),
-            exp_avg_sq=jax.tree.map(_v_init, params),
+            exp_avg=jax.tree.map(lambda p: _mom_to_host(_m_init(p)), params),
+            exp_avg_sq=jax.tree.map(lambda p: _mom_to_host(_v_init(p)),
+                                    params),
             shift=jax.tree.map(
                 lambda p: _shift_to_host(jnp.zeros_like(p)), params),
             accumulated_decay=accumulated,
@@ -306,30 +353,65 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             if p.dtype == jnp.float32:
                 # fp32 leaves (norm scales/biases) need no stochastic
                 # rounding: same update formula, exact arithmetic
-                m, v = f32_update(p, g, m, v)
-                delta = f32_delta(p, m, v, cur_lr, denom_correction)
-                return delta, m, v, shift, acc_decay
+                m, v = _mom_to_device(m), _mom_to_device(v)
+                delta, m, v = _f32_leaf_kernel(p, g, m, v, cur_lr,
+                                               denom_correction)
+                return delta, _mom_to_host(m), _mom_to_host(v), shift, \
+                    acc_decay
             shift = _shift_to_device(shift)
-            if quantized:
-                from sdxl_training_improvements_tpu.ops.quantize import (
-                    dequantize_8bit, quantize_8bit)
-                delta, m2, v2, shift, acc = bf16_update(
-                    p, g, dequantize_8bit(m, signed=True),
-                    dequantize_8bit(v, signed=False), shift, acc_decay,
-                    key, cur_lr, denom_correction)
-                return (delta, quantize_8bit(m2, signed=True),
-                        quantize_8bit(v2, signed=False),
-                        _shift_to_host(shift), acc)
-            delta, m, v, shift, acc = bf16_update(
+            m, v = _mom_to_device(m), _mom_to_device(v)
+            kernel = _bf16_q_leaf_kernel if quantized else _bf16_leaf_kernel
+            delta, m, v, shift, acc = kernel(
                 p, g, m, v, shift, acc_decay, key, cur_lr,
                 denom_correction)
-            return delta, m, v, _shift_to_host(shift), acc
+            return (delta, _mom_to_host(m), _mom_to_host(v),
+                    _shift_to_host(shift), acc)
 
-        results = [leaf_update(p, g, m, v, s, a, leaf_keys[i])
-                   for i, (p, g, m, v, s, a) in enumerate(zip(
-                       p_leaves, flat(grads), flat(state.exp_avg),
-                       flat(state.exp_avg_sq), flat(state.shift),
-                       flat(state.accumulated_decay)))]
+        leaf_args = list(zip(p_leaves, flat(grads), flat(state.exp_avg),
+                             flat(state.exp_avg_sq), flat(state.shift),
+                             flat(state.accumulated_decay)))
+
+        if not (shift_host or moments_host):
+            results = [leaf_update(*a, leaf_keys[i])
+                       for i, a in enumerate(leaf_args)]
+        else:
+            # Streaming modes: without explicit sequencing XLA is free to
+            # schedule every leaf's fp32 update temps concurrently — at
+            # SDXL scale that is ~60 GB of HLO temps (measured OOM report,
+            # 2026-08-19).  Chain the leaves in ~8M-param groups through
+            # lax.optimization_barrier with a pipeline depth of 2: group
+            # k+1's inputs depend on group k-1's outputs, so at most two
+            # groups' temps (and host DMAs) are in flight — the DMA-in of
+            # the next group overlaps the elementwise math of the current
+            # one.  PRNG keys stay outside the barrier (extended dtypes);
+            # they are tiny and carry no memory pressure.
+            budget = stream_group_params
+            groups, cur, n = [], [], 0
+            for i, p in enumerate(p_leaves):
+                cur.append(i)
+                n += p.size
+                if n >= budget:
+                    groups.append(cur)
+                    cur, n = [], 0
+            if cur:
+                groups.append(cur)
+
+            results = [None] * len(p_leaves)
+            pending = []  # (group_indices, outputs) not yet finalized
+            for grp in groups:
+                ins = tuple(leaf_args[i] for i in grp)
+                if len(pending) >= 2:
+                    old_grp, old_outs = pending.pop(0)
+                    ins, old_outs = jax.lax.optimization_barrier(
+                        (ins, old_outs))
+                    for j, gi in enumerate(old_grp):
+                        results[gi] = old_outs[j]
+                outs = [leaf_update(*a, leaf_keys[gi])
+                        for a, gi in zip(ins, grp)]
+                pending.append((grp, outs))
+            for old_grp, old_outs in pending:
+                for j, gi in enumerate(old_grp):
+                    results[gi] = old_outs[j]
         pick = lambda i: jax.tree_util.tree_unflatten(
             treedef, [r[i] for r in results])
         new_state = AdamWBF16State(step=step, exp_avg=pick(1),

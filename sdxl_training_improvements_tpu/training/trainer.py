@@ -177,7 +177,55 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
         return new_state, out_metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    jitted = jax.jit(train_step, donate_argnums=donate_argnums)
+    if not donate:
+        return jitted
+
+    # Host-streamed optimizer state (optimizer.shift_host/moments_host)
+    # needs donation handled with care: jax pairs donated input buffers to
+    # outputs by (shape, dtype) and consults memory kinds ONLY when every
+    # output sharding is explicit (mlir._set_up_aliases) — with inferred
+    # out_shardings a donated pinned_host shift buffer gets reused for a
+    # same-shape device param output and PJRT aborts the process
+    # ("PjRtBuffer's memory kind does not match sharding's memory kind",
+    # reproduced 2026-08-19).  So when the state carries pinned_host
+    # leaves: on TPU re-jit with fully explicit out_shardings taken from
+    # the incoming state (making the pairing memory-kind-aware); on
+    # backends without output host annotation (CPU: no
+    # annotate_device_placement) fall back to no donation — the streaming
+    # modes are a 16 GB-TPU feature, CPU only tests their mechanics.
+    host_cache: dict = {}
+
+    def _memory_kind(leaf):
+        s = getattr(leaf, "sharding", None)
+        return getattr(s, "memory_kind", None)
+
+    def step(state, batch):
+        leaves = jax.tree_util.tree_leaves(state)
+        if not any(_memory_kind(l) == "pinned_host" for l in leaves):
+            return jitted(state, batch)
+        if jax.default_backend() != "tpu":
+            key = "nodonate"
+            if key not in host_cache:
+                host_cache[key] = jax.jit(train_step)
+            return host_cache[key](state, batch)
+        shardings = jax.tree.map(lambda l: l.sharding, state)
+        key = (jax.tree_util.tree_structure(state),
+               tuple(_memory_kind(l) for l in leaves))
+        if key not in host_cache:
+            dev0 = leaves[0].sharding
+            from jax.sharding import SingleDeviceSharding
+            metric_s = SingleDeviceSharding(
+                getattr(dev0, "_device", jax.devices()[0]))
+            # metrics structure: probe via eval_shape once
+            out_shape = jax.eval_shape(train_step, state, batch)
+            metrics_sh = jax.tree.map(lambda _: metric_s, out_shape[1])
+            host_cache[key] = jax.jit(
+                train_step, donate_argnums=(0,),
+                out_shardings=(shardings, metrics_sh))
+        return host_cache[key](state, batch)
+
+    return step
 
 
 # ------------------------------------------------------------------ sharding

@@ -1,9 +1,11 @@
 """Optimizer tests: stochastic rounding properties, convergence on a quadratic,
 SOAP preconditioner behaviour (SURVEY.md §4: property tests for
 copy_stochastic_ — mean-preserving, bf16-representable output)."""
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 from sdxl_training_improvements_tpu.ops.stochastic import (
@@ -439,6 +441,47 @@ class TestInt8Moments:
     def test_shift_host_requires_per_leaf(self):
         with pytest.raises(ValueError, match="per_leaf"):
             adamw_bf16(shift_host=True, layout="stacked")
+
+    def test_moments_host_requires_per_leaf(self):
+        with pytest.raises(ValueError, match="per_leaf"):
+            adamw_bf16(moments_host=True, layout="flat")
+
+    def test_streaming_bit_identical_to_resident(self):
+        """shift_host + moments_host (the single-program 16 GB memory
+        plan) must be a pure placement/scheduling change: with a group
+        budget small enough to force several optimization_barrier groups,
+        5 steps produce bit-identical params vs the all-resident path."""
+        def tree():
+            ks = jax.random.split(jax.random.key(0), 5)
+            return {
+                "a": jax.random.normal(ks[0], (1024, 257), jnp.bfloat16),
+                "b": jax.random.normal(ks[1], (999,), jnp.bfloat16),
+                "norm": jax.random.normal(ks[2], (64,), jnp.float32),
+                "c": jax.random.normal(ks[3], (512, 130), jnp.bfloat16),
+                "d": jax.random.normal(ks[4], (7, 7, 33), jnp.bfloat16),
+            }
+
+        def run(**kw):
+            opt = adamw_bf16(lr=1e-3, weight_decay=0.01, moments="int8",
+                             stream_group_params=1 << 16, **kw)
+            p = tree()
+            s = opt.init(p)
+
+            @jax.jit
+            def step(p, s, i):
+                g = jax.tree.map(
+                    lambda x: (0.01 * jnp.sin(x.astype(jnp.float32)
+                                              + i)).astype(x.dtype), p)
+                u, s2 = opt.update(g, s, p)
+                return optax.apply_updates(p, u), s2
+
+            for i in range(5):
+                p, s = step(p, s, float(i))
+            return p
+
+        p0 = run()
+        p1 = run(shift_host=True, moments_host=True)
+        chex.assert_trees_all_equal(p0, p1)
 
     def test_code_tables_all_distinct(self):
         """Every one of the 256 codes is a distinct value on both maps

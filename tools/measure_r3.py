@@ -223,6 +223,13 @@ FWD_CASES = {
     "b4_dotssmallconv10_auto_ms": dict(
         batch=4, remat=True, remat_policy="dots_small_conv10",
         attn_impl="auto", steps=6, warmup=2),
+    # compose the round-4 literal-row winner (conv10, 1351.7 ms) with the
+    # 512 MB chunk threshold that helped dots_small_attn (1371.7 vs
+    # 1413.6): deep attention sites run monolithic in the remat recompute
+    "b4_dotssmallconv10_auto512_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv10",
+        attn_impl="auto", steps=6, warmup=2,
+        env={"SDXL_TPU_ATTN_CHUNK_MB": "512"}),
 }
 
 

@@ -35,22 +35,28 @@ def _flat(params):
 def lora_init(params, rng: jax.Array, rank: int = 4,
               targets: Sequence[str] = DEFAULT_TARGETS,
               dtype=jnp.float32) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """LoRA tree for every 2-D kernel whose path matches a target regex.
+    """LoRA tree for every Dense/Conv kernel whose path matches a target
+    regex — the reference wraps both ``nn.Linear`` and ``nn.Conv2d``
+    (``lora.py:11-23``).
 
-    down ~ N(0, 1/rank) [in, r]; up = 0 [r, out] (reference init,
-    ``lora.py:26-33``) — so the initial delta is exactly zero.
+    Dense kernels [in, out]: down ~ N(0, 1/rank) [in, r]; up = 0 [r, out]
+    (reference init, ``lora.py:26-33``) — so the initial delta is exactly
+    zero.  Conv kernels [kh, kw, in, out] keep the spatial taps on the down
+    factor: down [kh, kw, in, r] (a rank-r conv), up [r, out] (the 1x1
+    mixing conv peft uses for Conv2d adapters).
     """
     patterns = [re.compile(t) for t in targets]
     tree: Dict[str, Dict[str, jnp.ndarray]] = {}
     for path, v in _flat(params).items():
-        if not path.endswith("/kernel") or v.ndim != 2:
+        if not path.endswith("/kernel") or v.ndim not in (2, 4):
             continue
         if not any(p.search(path) for p in patterns):
             continue
         rng, k = jax.random.split(rng)
-        d_in, d_out = v.shape
+        d_out = v.shape[-1]
+        down_shape = v.shape[:-1] + (rank,)
         tree[path] = {
-            "down": (jax.random.normal(k, (d_in, rank), dtype)
+            "down": (jax.random.normal(k, down_shape, dtype)
                      / jnp.sqrt(jnp.asarray(rank, dtype))),
             "up": jnp.zeros((rank, d_out), dtype),
         }
@@ -72,8 +78,11 @@ def lora_merge(params, lora_tree: Dict[str, Dict[str, jnp.ndarray]],
                 out[k] = walk(v, path)
             elif path in flat_paths:
                 lp = lora_tree[path]
-                delta = (lp["down"].astype(jnp.float32)
-                         @ lp["up"].astype(jnp.float32)) * alpha
+                # Dense: [in,r]@[r,out]; Conv: [kh,kw,in,r]x[r,out] over the
+                # rank axis -> a full [kh,kw,in,out] kernel delta
+                delta = jnp.tensordot(
+                    lp["down"].astype(jnp.float32),
+                    lp["up"].astype(jnp.float32), axes=[[-1], [0]]) * alpha
                 out[k] = (v.astype(jnp.float32) + delta).astype(v.dtype)
             else:
                 out[k] = v
@@ -94,7 +103,8 @@ def _dropout_interceptor(lora_tree, alpha: float, dropout: float,
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
-        if type(mod) is not nn.Dense or context.method_name != "__call__":
+        if (type(mod) not in (nn.Dense, nn.Conv)
+                or context.method_name != "__call__"):
             return next_fun(*args, **kwargs)
         path = "params/" + "/".join(mod.path) + "/kernel"
         pair = lora_tree.get(path)
@@ -105,8 +115,33 @@ def _dropout_interceptor(lora_tree, alpha: float, dropout: float,
         key = jax.random.fold_in(rng, zlib.crc32(path.encode()))
         mask = jax.random.bernoulli(key, keep, x.shape)
         xd = jnp.where(mask, x.astype(jnp.float32) / keep, 0.0)
-        delta = (xd @ pair["down"].astype(jnp.float32)
-                 ) @ pair["up"].astype(jnp.float32) * alpha
+        down = pair["down"].astype(jnp.float32)
+        if down.ndim == 2:
+            h = xd @ down
+        else:
+            # conv adapter: rank-r conv with the module's own geometry
+            # (NHWC inputs, HWIO kernels), then the 1x1 `up` mix below
+            nd = down.ndim - 2
+
+            def _tup(v, default=1):
+                if v is None:
+                    v = default
+                return (v,) * nd if isinstance(v, int) else tuple(v)
+
+            pad = mod.padding
+            if isinstance(pad, int):
+                pad = [(pad, pad)] * nd
+            elif (isinstance(pad, (list, tuple)) and pad
+                  and isinstance(pad[0], int)):
+                pad = [(p, p) for p in pad]
+            h = jax.lax.conv_general_dilated(
+                xd, down,
+                window_strides=_tup(mod.strides),
+                padding=pad,
+                rhs_dilation=_tup(mod.kernel_dilation),
+                feature_group_count=mod.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        delta = h @ pair["up"].astype(jnp.float32) * alpha
         out = next_fun(*args, **kwargs)
         return out + delta.astype(out.dtype)
 

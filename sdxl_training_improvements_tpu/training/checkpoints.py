@@ -223,7 +223,10 @@ def export_lora(ckpt_dir, lora_tree: dict, rank: int, alpha: float,
     merged ``unet/`` exported alongside it.
 
     Tree keys are flax param paths ("params/<mods>/kernel" with down [in,r],
-    up [r,out]) as produced by ``models.lora.lora_init``.
+    up [r,out]) as produced by ``models.lora.lora_init``.  Conv adapters
+    (down [kh,kw,in,r]) use the peft Conv2d layout: ``lora_A.weight``
+    [r,in,kh,kw] (an r-filter conv) and ``lora_B.weight`` [out,r,1,1]
+    (the 1x1 mixing conv).
     """
     ckpt_dir = Path(ckpt_dir)
     lora_tree = _tree_to_host(lora_tree)  # collective on multi-host
@@ -234,9 +237,14 @@ def export_lora(ckpt_dir, lora_tree: dict, rank: int, alpha: float,
     for path, pair in lora_tree.items():
         mods = [p for p in path.split("/") if p not in ("params", "kernel")]
         hf = ".".join(W._flax_seg_to_hf(m) for m in mods)
-        state[f"{prefix}.{hf}.lora_A.weight"] = np.asarray(pair["down"]).T
-        state[f"{prefix}.{hf}.lora_B.weight"] = (
-            np.asarray(pair["up"], np.float32) * alpha).T
+        down = np.asarray(pair["down"])
+        up = np.asarray(pair["up"], np.float32) * alpha
+        if down.ndim == 4:  # conv: HWIr -> torch rIHW / up -> [out,r,1,1]
+            state[f"{prefix}.{hf}.lora_A.weight"] = down.transpose(3, 2, 0, 1)
+            state[f"{prefix}.{hf}.lora_B.weight"] = up.T[:, :, None, None]
+        else:
+            state[f"{prefix}.{hf}.lora_A.weight"] = down.T
+            state[f"{prefix}.{hf}.lora_B.weight"] = up.T
     W.save_safetensors(state, out)
     (ckpt_dir / "lora_config.json").write_text(json.dumps(
         {"r": rank, "lora_alpha": rank, "base": prefix,
@@ -282,7 +290,12 @@ def import_lora(path, base_params, prefix: str = "unet") -> dict:
         if flax_path is None:
             raise KeyError(f"LoRA key {k!r} matches no kernel in the model")
         pair = tree.setdefault(flax_path, {})
-        pair["down" if which.startswith("A") else "up"] = v.T
+        if which.startswith("A"):
+            # conv lora_A [r,in,kh,kw] -> down [kh,kw,in,r]
+            pair["down"] = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v.T
+        else:
+            # conv lora_B [out,r,1,1] -> up [r,out]
+            pair["up"] = v[:, :, 0, 0].T if v.ndim == 4 else v.T
     if skipped:
         import logging
         logging.getLogger(__name__).warning(

@@ -536,7 +536,7 @@ class SDXLTrainer:
     def save_checkpoint(self, epoch: Optional[int] = None,
                         tag: Optional[str] = None) -> Path:
         name = (f"checkpoint-{epoch:04d}" if epoch is not None
-                else f"{tag}_checkpoint")
+                else f"{tag or 'final'}_checkpoint")
         path = self.output_dir / name
         self.logger.info(f"Saving checkpoint to {path}")
         # tpu.async_checkpointing: saves snapshot to host and commit in the

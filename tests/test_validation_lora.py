@@ -204,6 +204,74 @@ class TestLoRAConfigPath:
             np.testing.assert_allclose(np.asarray(back[k]["up"]),
                                        np.asarray(lora[k]["up"]), rtol=1e-6)
 
+    # ---- conv adapters (reference wraps Linear AND Conv2d, lora.py:11-23)
+
+    def test_conv_targets_adapt_conv_kernels(self, model):
+        base = model.params["unet"]
+        lora = lora_init(base, jax.random.key(0), rank=2,
+                         targets=[r"conv"])
+        conv_pairs = [v for v in lora.values() if v["down"].ndim == 4]
+        assert conv_pairs, "conv targets matched no 4-D kernels"
+        for v in conv_pairs:
+            kh, kw, cin, r = v["down"].shape
+            assert r == 2 and v["up"].shape[0] == 2
+        # zero-init identity holds for conv deltas too
+        merged = lora_merge(base, lora)
+        for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(merged)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_conv_branch_matches_merge(self, model):
+        """With dropout ~ 0 the interception branch must equal the merged
+        forward: conv(x, W) + up-mix(conv(x, down)) == conv(x, W + down*up)
+        — validates the branch conv geometry (padding/strides)."""
+        ucfg = model.unet_config
+        targets = [r"conv", r"attn\d/(to_q|to_out_0)"]
+        lora_params, apply_fn = lora_train_wrappers(
+            model.params["unet"], model.unet_apply, jax.random.key(1),
+            rank=2, targets=targets, dropout=1e-12, module=model.unet)
+        # non-trivial adapter: fill ups with noise
+        lp = {k: {"down": v["down"],
+                  "up": 0.1 * jax.random.normal(
+                      jax.random.fold_in(jax.random.key(2), i),
+                      v["up"].shape)}
+              for i, (k, v) in enumerate(sorted(lora_params.items()))}
+        args = (jnp.ones((1, 4, 8, 8)), jnp.array([3.0]),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+                jnp.zeros((1, ucfg.pooled_embed_dim)),
+                jnp.zeros((1, 6)))
+        o_branch = apply_fn(lp, *args, rng=jax.random.key(3))
+        o_merge = apply_fn(lp, *args)  # no rng -> merge path
+        np.testing.assert_allclose(np.asarray(o_branch),
+                                   np.asarray(o_merge), atol=2e-4)
+
+    def test_conv_lora_export_import_roundtrip(self, model, tmp_path):
+        from sdxl_training_improvements_tpu.training.checkpoints import (
+            export_lora, import_lora)
+        base = model.params["unet"]
+        lora = lora_init(base, jax.random.key(4), rank=3,
+                         targets=[r"conv", r"attn\d/to_q"])
+        lora = {k: {"down": v["down"],
+                    "up": jax.random.normal(jax.random.key(5),
+                                            v["up"].shape)}
+                for k, v in lora.items()}
+        out = export_lora(tmp_path, lora, rank=3, alpha=1.0)
+        back = import_lora(out, base)
+        assert set(back) == set(lora)
+        assert any(np.asarray(v["down"]).ndim == 4 for v in back.values())
+        for k in lora:
+            np.testing.assert_allclose(np.asarray(back[k]["down"]),
+                                       np.asarray(lora[k]["down"]),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(back[k]["up"]),
+                                       np.asarray(lora[k]["up"]), rtol=1e-6)
+        # merged deltas agree end to end (the property consumers rely on)
+        m_a = lora_merge(base, lora, alpha=1.0)
+        m_b = lora_merge(base, back, alpha=1.0)
+        for a, b in zip(jax.tree.leaves(m_a), jax.tree.leaves(m_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestValidation:
     def test_latents_to_images(self):

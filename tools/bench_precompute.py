@@ -84,12 +84,21 @@ def run(n_images: int, size: int, workers, real_vae: bool, batch: int,
                                                method=vae.encode))
     key_holder = {"k": jax.random.key(0)}
 
-    def enc_i(px):
-        key_holder["k"], k = jax.random.split(key_holder["k"])
-        out = encode(jnp.asarray(px, jnp.float32), k)
-        if device_ms:
-            time.sleep(device_ms / 1e3)  # emulated device-side encode time
-        return out
+    if device_ms:
+        # Pure emulated device encode: main thread blocks device_ms per
+        # batch (the host-side profile of waiting on a dispatched device
+        # computation) and returns shape-correct zeros.  The real tiny
+        # VAE is useless for the overlap A/B on a 1-core host: its jitted
+        # encode is CPU-bound on XLA's own threads and jax's async
+        # dispatch already hides any main-thread wait in BOTH arms.
+        def enc_i(px):
+            time.sleep(device_ms / 1e3)
+            b, _, h, w = px.shape
+            return np.zeros((b, 4, h // 8, w // 8), np.float32)
+    else:
+        def enc_i(px):
+            key_holder["k"], k = jax.random.split(key_holder["k"])
+            return encode(jnp.asarray(px, jnp.float32), k)
 
     def enc_p(caps):
         return {"prompt_embeds": np.zeros((len(caps), 77, 64), np.float32),

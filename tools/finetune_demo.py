@@ -264,21 +264,27 @@ def run_trainer(cfg, out_dir: Path, log, model=None):
 
 
 def sample(ckpt: Path, prompts, out_dir: Path, *, tiny: bool, size: int,
-           steps: int = 40, seed: int = 7):
-    """Generate through the real CLI entry (generate.main)."""
+           steps: int = 40, seed: int = 7, seeds=None):
+    """Generate through the real CLI entry (generate.main).  ``seeds``
+    draws one batch per seed into per-seed subdirs (scores take the max:
+    a single unlucky init noise shouldn't fail the concept check)."""
     from sdxl_training_improvements_tpu.generate import main as gen_main
-    argv = ["--model", str(ckpt), "--out", str(out_dir),
-            "--height", str(size), "--width", str(size),
-            "--steps", str(steps), "--seed", str(seed),
-            "--guidance", "5.0"]
-    if tiny:
-        argv.append("--tiny")
-    for p in prompts:
-        argv += ["--prompt", p]
-    rc = gen_main(argv)
-    if rc != 0:
-        raise RuntimeError(f"generate.main returned {rc}")
-    return sorted(out_dir.glob("*.png"))
+    pngs = []
+    for s in (seeds if seeds is not None else [seed]):
+        sub = out_dir if seeds is None else out_dir / f"seed{s}"
+        argv = ["--model", str(ckpt), "--out", str(sub),
+                "--height", str(size), "--width", str(size),
+                "--steps", str(steps), "--seed", str(s),
+                "--guidance", "5.0"]
+        if tiny:
+            argv.append("--tiny")
+        for p in prompts:
+            argv += ["--prompt", p]
+        rc = gen_main(argv)
+        if rc != 0:
+            raise RuntimeError(f"generate.main returned {rc}")
+        pngs += sorted(sub.glob("*.png"))
+    return pngs
 
 
 # ------------------------------------------------------------------ stages
@@ -369,21 +375,26 @@ def stage_lora(log, fast: bool = False):
     prompt = f"a {color} {shape}"
     log(f"new-concept dataset: {n} images of '{prompt}'")
 
-    # BEFORE: the base model does not know the concept
+    # BEFORE: the base model does not know the concept (4 seeds, max score)
     before_dir = ART / "samples_before_lora"
-    before = sample(base_ckpt, [prompt], before_dir, tiny=True, size=64)
+    before = sample(base_ckpt, [prompt], before_dir, tiny=True, size=64,
+                    seeds=[7, 11, 23, 42])
     s_before = max(concept_score(p, color) for p in before)
 
-    cfg = demo_config(data_dir, batch=16, epochs=30 if fast else 300,
+    cfg = demo_config(data_dir, batch=16, epochs=30 if fast else 900,
                       lr=1e-3, out_label="lora", seed=3)
     cfg.model.pretrained_model_name = str(base_ckpt)
     cfg.training.lora.enabled = True
     cfg.training.lora.rank = 16
     cfg.training.lora.alpha = 1.0
-    # attention projections (the reference default surface) + the MLPs —
-    # rank-16 over attention alone cannot move conv-dominated color stats
+    # attention + MLP + CONV adapters (the reference wraps Linear AND
+    # Conv2d, lora.py:11-23).  Round-4 finding: attention/MLP-only
+    # adapters fit the flow loss to the base model's floor yet samples
+    # stayed base-colored — in a tiny UNet the frozen conv path owns the
+    # color statistics, so the adapter must reach the convs to move them.
     cfg.training.lora.targets = [
-        r"attn\d/(to_q|to_k|to_v|to_out_0)", r"ff/(net_0/proj|net_2)"]
+        r"attn\d/(to_q|to_k|to_v|to_out_0)", r"ff/(net_0/proj|net_2)",
+        r"conv"]
     trainer, hist, wall = run_trainer(cfg, WORK / "lora", log)
     ckpt = WORK / "lora" / "final_checkpoint"
 
@@ -393,7 +404,8 @@ def stage_lora(log, fast: bool = False):
     # AFTER: reload the exported checkpoint from disk (proves the round
     # trip) and sample the same prompt/seed
     after_dir = ART / "samples_after_lora"
-    after = sample(ckpt, [prompt], after_dir, tiny=True, size=64)
+    after = sample(ckpt, [prompt], after_dir, tiny=True, size=64,
+                   seeds=[7, 11, 23, 42])
     s_after = max(concept_score(p, color) for p in after)
     log(f"concept score '{prompt}': before {s_before:.4f} -> "
         f"after {s_after:.4f}")

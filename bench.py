@@ -273,7 +273,7 @@ def bench_single_program_full_step(cfg, hw, steps=6, warmup=2,
       state instead of 10.3),
     * ``optimizer.shift_host`` + ``optimizer.moments_host`` — the SR shift
       and the int8 m/v trees live in pinned host memory, streamed through
-      HBM in ~8M-param groups inside the program (a depth-2
+      HBM in ~33.5M-param groups inside the program (a depth-2
       optimization_barrier pipeline bounds concurrent temps; without it
       XLA schedules ~60 GB of fp32 update temps at once — measured OOM,
       2026-08-19).  Resident HBM is then params+grads only (~10.3 GB),
@@ -565,6 +565,30 @@ def main():
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+    # Wall-clock budget (VERDICT round-4 #1): the driver gives `python
+    # bench.py` a hard ~30 min window; round 4's default lane blew it on
+    # cold compiles and left the round with NO official number (rc=124).
+    # Every phase beyond the essential three (headline fwd+bwd, bf16-SR
+    # optimizer, literal fwd+bwd) is gated on the time remaining vs a
+    # cold-compile cost estimate — a warm .jax_cache_tpu (primed by any
+    # prior run, incl. tools/run_measure_r3.sh) makes everything fit; a
+    # cold cache degrades to the essential rows instead of to nothing.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("SDXL_BENCH_BUDGET_S", "1500"))
+    skipped_phases = []
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    def gate(name, est_cold_s):
+        if remaining() < est_cold_s:
+            skipped_phases.append(name)
+            log(f"SKIP {name}: {remaining():.0f}s of budget left < "
+                f"{est_cold_s:.0f}s cold-compile estimate "
+                f"(prime .jax_cache_tpu or raise SDXL_BENCH_BUDGET_S)")
+            return False
+        return True
+
     peak, chip = _chip_peak_flops() if on_tpu else (None, "cpu")
 
     # The reference's default workload is batch 4 x grad-accum 4 @1024^2
@@ -604,36 +628,8 @@ def main():
 
     mkcfg = UNetConfig.sdxl if on_tpu else UNetConfig.tiny
 
-    log("optimizer phase: full-scale bf16-SR update (chunked)...")
-    t_opt = n_params = None
-    opt_err = None
-    try:
-        t_opt, n_params = bench_optimizer_full_scale(
-            mkcfg(), hw, n_chunks=chunks)
-        log(f"optimizer: {t_opt*1e3:.1f} ms over {n_params} params")
-    except Exception as e:
-        opt_err = repr(e)
-        log(f"optimizer phase failed: {opt_err}")
-
-    # 8-bit log-code moments: 4 instead of 6 state bytes/param -> less HBM
-    # traffic in the elementwise update.  Quality-gated by the 1k-step
-    # A/B study (tools/study_int8_moments.py, BASELINE.md); the extra
-    # literal-row variant below shows the amortized effect.
-    t_opt8 = None
-    if on_tpu:
-        log("optimizer phase: full-scale 8-bit-moment update (chunked)...")
-        try:
-            from sdxl_training_improvements_tpu.training.optimizers import (
-                adamw_bf16 as _adamw)
-            t_opt8, _ = bench_optimizer_full_scale(
-                mkcfg(), hw, n_chunks=chunks,
-                make_opt=lambda: _adamw(lr=4e-7, weight_decay=0.01,
-                                        noise="hash", moments="int8"))
-            log(f"optimizer(int8 moments): {t_opt8*1e3:.1f} ms")
-        except Exception as e:
-            log(f"int8-moment optimizer phase failed: {e!r}")
-
-    # measure each distinct micro-batch HLO once
+    # measure each distinct micro-batch HLO once (headline first: even a
+    # budget-exhausted run then reports a real fwd+bwd number)
     measured = {}
     for cname, w in cases.items():
         cfg = mkcfg(remat=w["remat"], remat_policy=w["remat_policy"],
@@ -658,6 +654,35 @@ def main():
                                attention_impl=resolved,
                                remat=w["remat_policy"] if w["remat"]
                                else "off")
+
+    log("optimizer phase: full-scale bf16-SR update (chunked)...")
+    t_opt = n_params = None
+    opt_err = None
+    try:
+        t_opt, n_params = bench_optimizer_full_scale(
+            mkcfg(), hw, n_chunks=chunks)
+        log(f"optimizer: {t_opt*1e3:.1f} ms over {n_params} params")
+    except Exception as e:
+        opt_err = repr(e)
+        log(f"optimizer phase failed: {opt_err}")
+
+    # 8-bit log-code moments: 4 instead of 6 state bytes/param -> less HBM
+    # traffic in the elementwise update.  Quality-gated by the 1k-step
+    # A/B study (tools/study_int8_moments.py, BASELINE.md); the extra
+    # literal-row variant below shows the amortized effect.
+    t_opt8 = None
+    if on_tpu and gate("optimizer_int8_moments", 420):
+        log("optimizer phase: full-scale 8-bit-moment update (chunked)...")
+        try:
+            from sdxl_training_improvements_tpu.training.optimizers import (
+                adamw_bf16 as _adamw)
+            t_opt8, _ = bench_optimizer_full_scale(
+                mkcfg(), hw, n_chunks=chunks,
+                make_opt=lambda: _adamw(lr=4e-7, weight_decay=0.01,
+                                        noise="hash", moments="int8"))
+            log(f"optimizer(int8 moments): {t_opt8*1e3:.1f} ms")
+        except Exception as e:
+            log(f"int8-moment optimizer phase failed: {e!r}")
 
     rows = []
     for name, cname, accum in workloads:
@@ -704,27 +729,31 @@ def main():
     # Opt-out (SDXL_BENCH_SINGLE_PROGRAM=0) rather than opt-in: these are
     # the rows that make the headline methodology credible.
     if on_tpu and os.environ.get("SDXL_BENCH_SINGLE_PROGRAM", "1") == "1":
-        log("single-program full step (moments_8bit + shift_host) ...")
-        try:
-            rows.append(bench_single_program_full_step(
-                mkcfg(remat=True, remat_policy="dots_small",
-                      attn_impl="auto"), hw))
-            log(f"  {rows[-1]}")
-        except Exception as e:
-            rows.append({"name": "single_program_full_step",
-                         "error": repr(e)[:300]})
-            log(f"  failed: {repr(e)[:200]}")
-        log("literal b4xa4 recipe as ONE program (dots_small_conv10) ...")
-        try:
-            rows.append(bench_single_program_full_step(
-                mkcfg(remat=True, remat_policy="dots_small_conv10",
-                      attn_impl="auto"), hw, batch=4, accum=4,
-                name="single_program_literal_b4xa4"))
-            log(f"  {rows[-1]}")
-        except Exception as e:
-            rows.append({"name": "single_program_literal_b4xa4",
-                         "error": repr(e)[:300]})
-            log(f"  failed: {repr(e)[:200]}")
+        if gate("single_program_full_step", 600):
+            log("single-program full step (moments_8bit + shift_host) ...")
+            try:
+                rows.append(bench_single_program_full_step(
+                    mkcfg(remat=True, remat_policy="dots_small",
+                          attn_impl="auto"), hw))
+                log(f"  {rows[-1]}")
+            except Exception as e:
+                rows.append({"name": "single_program_full_step",
+                             "error": repr(e)[:300]})
+                log(f"  failed: {repr(e)[:200]}")
+        if gate("single_program_literal_b4xa4", 600):
+            log("literal b4xa4 recipe as ONE program (dots_small_conv10)...")
+            try:
+                rows.append(bench_single_program_full_step(
+                    mkcfg(remat=True, remat_policy="dots_small_conv10",
+                          attn_impl="auto"), hw, batch=4, accum=4,
+                    name="single_program_literal_b4xa4"))
+                log(f"  {rows[-1]}")
+            except Exception as e:
+                rows.append({"name": "single_program_literal_b4xa4",
+                             "error": repr(e)[:300]})
+                log(f"  failed: {repr(e)[:200]}")
+    if (on_tpu and os.environ.get("SDXL_BENCH_SINGLE_PROGRAM", "1") == "1"
+            and gate("composition_check", 420)):
         log("composition additivity check (reduced UNet, all-resident) ...")
         try:
             # 0.6x channel width: params+grads+full bf16 state fit
@@ -741,7 +770,8 @@ def main():
             log(f"  failed: {repr(e)[:200]}")
 
     serving = {}
-    if on_tpu and os.environ.get("SDXL_BENCH_SERVING", "0") == "1":
+    if (on_tpu and os.environ.get("SDXL_BENCH_SERVING", "0") == "1"
+            and gate("serving", 420)):
         # opt-in (like SOAP) so the driver's bench run can't stall on two
         # fresh inference HLO compiles; tools/measure_r3.py serving primes
         # the cache and records the same numbers
@@ -784,7 +814,7 @@ def main():
             serving["deepcache_1img_cfg2"] = {"error": repr(e)[:200]}
 
     extra_soap = {}
-    if os.environ.get("SDXL_BENCH_SOAP", "0") == "1":
+    if os.environ.get("SDXL_BENCH_SOAP", "0") == "1" and gate("soap", 600):
         log("SOAP phase (opt-in) ...")
         try:
             extra_soap = bench_soap_full_scale(mkcfg(), hw)
@@ -824,6 +854,9 @@ def main():
             "resident chunks (elementwise, times sum exactly); full state "
             "exceeds a 16GB dev chip, target v5p"),
         "baseline_source": BASELINE_SOURCE,
+        "budget_s": budget_s,
+        "elapsed_s": round(time.perf_counter() - t_start, 1),
+        **({"skipped_phases": skipped_phases} if skipped_phases else {}),
         **({"serving": serving} if serving else {}),
         **extra_soap,
     }

@@ -69,7 +69,7 @@ class OptimizerConfig:
     # resident at SDXL scale; single-device small-HBM escape hatch)
     shift_host: bool = False
     # adamw_bf16 only: keep the m/v trees in pinned host memory too,
-    # streamed in ~8M-param groups (pairs with moments_8bit: 1 byte/param
+    # streamed in ~33.5M-param groups (pairs with moments_8bit: 1 byte/param
     # each way over DMA).  With shift_host this leaves only params+grads
     # resident — what lets fwd+bwd+clip+update run as ONE program on a
     # 16 GB chip (bench.py single_program_full_step)

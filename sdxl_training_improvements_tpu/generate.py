@@ -150,16 +150,25 @@ def main(argv=None) -> int:
                                           tiny=args.tiny)
         # steps/resolution/sampler/deep-cache are STATIC in an AOT artifact;
         # refuse an explicitly-passed flag that disagrees with the artifact
-        # rather than silently dropping it (round-3 advisor finding).  A flag
-        # left at its parser default is treated as "not passed".
-        parser = build_parser()
+        # rather than silently dropping it (round-3 advisor finding).
+        # "Explicitly passed" is detected by re-parsing argv with SUPPRESS
+        # defaults (absent flags then simply don't appear), NOT by comparing
+        # against parser defaults — a user who explicitly passes the default
+        # value against an artifact baked with a different one must get the
+        # conflict error too (ADVICE round-4).
+        import argparse as _argparse
+        sentinel = build_parser()
+        for action in sentinel._actions:
+            action.default = _argparse.SUPPRESS
+            action.required = False
+        explicitly_passed = vars(sentinel.parse_args(argv))
         static = {"steps": "num_inference_steps", "height": "height",
                   "width": "width", "sampler": "sampler",
                   "deep_cache": "deep_cache"}
         for flag, meta_key in static.items():
             passed = getattr(args, flag)
             baked = aot.meta.get(meta_key)
-            if passed != parser.get_default(flag) and passed != baked:
+            if flag in explicitly_passed and passed != baked:
                 raise SystemExit(
                     f"--{flag.replace('_', '-')}={passed} conflicts with the "
                     f"AOT artifact ({meta_key}={baked} is static in the "

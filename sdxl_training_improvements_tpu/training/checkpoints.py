@@ -294,7 +294,15 @@ def import_lora(path, base_params, prefix: str = "unet") -> dict:
             # conv lora_A [r,in,kh,kw] -> down [kh,kw,in,r]
             pair["down"] = v.transpose(2, 3, 1, 0) if v.ndim == 4 else v.T
         else:
-            # conv lora_B [out,r,1,1] -> up [r,out]
+            # conv lora_B [out,r,1,1] -> up [r,out].  Only a 1x1 up kernel
+            # maps onto this adapter's factorization (spatial taps live in
+            # lora_A) — a third-party adapter with a wider lora_B would be
+            # silently truncated otherwise (ADVICE round-4)
+            if v.ndim == 4 and v.shape[2:] != (1, 1):
+                raise ValueError(
+                    f"LoRA key {k!r} has a {v.shape[2]}x{v.shape[3]} "
+                    "lora_B kernel; only 1x1 up-projections are supported "
+                    "(spatial taps belong in lora_A)")
             pair["up"] = v[:, :, 0, 0].T if v.ndim == 4 else v.T
     if skipped:
         import logging

@@ -44,6 +44,19 @@ def make_optimizer(config) -> optax.GradientTransformation:
             "EMA of the y training iterate would shadow that recovery with "
             "ill-defined weights. Disable one of the two.")
     tpu = getattr(config, "tpu", None)
+    # host-streamed optimizer state is a single-chip small-HBM feature; its
+    # pinned-host placement/donation contract has only been validated
+    # unsharded — combined with ZeRO/megatron param sharding it would force
+    # implicit gathers or mis-place state (ADVICE round-4, medium): refuse
+    # loudly instead of training wrong.
+    if (getattr(oc, "shift_host", False)
+            or getattr(oc, "moments_host", False)) and getattr(
+            tpu, "shard_params", False):
+        raise ValueError(
+            "optimizer.shift_host/moments_host cannot be combined with "
+            "tpu.shard_params: host-streamed state is a single-chip 16 GB "
+            "memory plan; on a sharded mesh the optimizer state is already "
+            "ZeRO-partitioned across chips. Disable one of the two.")
     base = _make_base(oc, flat_state=resolve_flat_state(tpu),
                       sr_noise=getattr(tpu, "sr_noise", None))
     return with_ema(base, decay=ema_decay) if ema_decay else base

@@ -159,22 +159,33 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
     # leaves.  Removes 5.1 GB (at SDXL scale) of resident HBM; with
     # moments="int8" this is what lets the full fwd+bwd+clip+update run as
     # ONE program on a 16 GB chip (bench.py single_program_full_step).
-    # Single-device placement (the small-HBM scenario it exists for).
+    # Placement: derive from the leaf's own sharding with the memory kind
+    # swapped when the leaf is a concrete array (so an FSDP/NamedSharding
+    # leaf keeps its device layout and only changes memory space); fall
+    # back to single-device placement (the small-HBM scenario this exists
+    # for) for tracers/abstract leaves.  The production guard against the
+    # untested shard_params+host-streaming combination lives in
+    # make_optimizer (ADVICE round-4, medium).
     def _shift_mem(kind: str):
         from jax.sharding import SingleDeviceSharding
         return SingleDeviceSharding(jax.devices()[0], memory_kind=kind)
 
-    def _host_put(x):
+    def _put(x, kind):
+        try:  # concrete array: keep its sharding, swap the memory kind
+            if isinstance(x, jax.Array):
+                return jax.device_put(x, x.sharding.with_memory_kind(kind))
+        except Exception:
+            pass
         try:
-            return jax.device_put(x, _shift_mem("pinned_host"))
+            return jax.device_put(x, _shift_mem(kind))
         except Exception:  # backend without pinned_host: stay resident
             return x
 
+    def _host_put(x):
+        return _put(x, "pinned_host")
+
     def _dev_put(x):
-        try:
-            return jax.device_put(x, _shift_mem("device"))
-        except Exception:
-            return x
+        return _put(x, "device")
 
     _shift_to_host = _host_put if shift_host else (lambda x: x)
     _shift_to_device = _dev_put if shift_host else (lambda x: x)
@@ -378,7 +389,9 @@ def adamw_bf16(lr: float = 1e-4, betas=(0.9, 0.999), eps: float = 1e-8,
             # Streaming modes: without explicit sequencing XLA is free to
             # schedule every leaf's fp32 update temps concurrently — at
             # SDXL scale that is ~60 GB of HLO temps (measured OOM report,
-            # 2026-08-19).  Chain the leaves in ~8M-param groups through
+            # 2026-08-19).  Chain the leaves in ~33.5M-param groups
+            # (``stream_group_params``, the default measured in the
+            # round-4 single-program runs; ~2x0.5 GB of fp32 temps) through
             # lax.optimization_barrier with a pipeline depth of 2: group
             # k+1's inputs depend on group k-1's outputs, so at most two
             # groups' temps (and host DMAs) are in flight — the DMA-in of

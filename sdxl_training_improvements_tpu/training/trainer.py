@@ -210,8 +210,12 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
                 host_cache[key] = jax.jit(train_step)
             return host_cache[key](state, batch)
         shardings = jax.tree.map(lambda l: l.sharding, state)
+        # the cache bakes these shardings into out_shardings, so the key
+        # must carry the full sharding tree — structure + memory kinds
+        # alone would silently re-place a same-structure state that arrives
+        # with different shardings (ADVICE round-4)
         key = (jax.tree_util.tree_structure(state),
-               tuple(_memory_kind(l) for l in leaves))
+               tuple(l.sharding for l in leaves))
         if key not in host_cache:
             dev0 = leaves[0].sharding
             from jax.sharding import SingleDeviceSharding

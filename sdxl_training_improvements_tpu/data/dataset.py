@@ -202,8 +202,18 @@ class AspectBucketDataset:
             for i in idxs:
                 flips[i] = bool(random_flip and flip_rng.random() < 0.5)
 
+        # per-stage wall time (list.append is GIL-atomic): decode_cpu sums
+        # actual in-thread decode/resize seconds; encode/decode_wait are
+        # accumulated in _encode_and_write.  Summed into
+        # last_precompute_stats so the BASELINE "latent-cache imgs/sec"
+        # number ships with its stage breakdown (the single-core bound is
+        # decode_cpu-dominated on a 1-core host).
+        self._stage_decode_s: List[float] = []
+        self._stage_encode_s = self._stage_wait_s = 0.0
+
         def decode_one(i: int):
             b = self._bucket_of[i]
+            t_dec = _time.perf_counter()
             try:
                 with Image.open(self.image_paths[i]) as im:
                     # per-image generator seeded by (seed, index): crops are
@@ -213,6 +223,8 @@ class AspectBucketDataset:
                         rng=np.random.default_rng((seed, i)))
             except Exception:
                 return None
+            finally:
+                self._stage_decode_s.append(_time.perf_counter() - t_dec)
             tids = compute_time_ids(orig, crop, (b.height, b.width))
             meta = {"original_size": list(orig),
                     "crop_top_left": list(crop),
@@ -267,6 +279,14 @@ class AspectBucketDataset:
         self.last_precompute_stats = {
             "images": done, "seconds": elapsed,
             "images_per_sec": done / elapsed if done else 0.0,
+            # stage breakdown (seconds): decode_cpu = summed in-thread
+            # decode/resize time (overlappable across N cores);
+            # encode_device = main-thread jitted-encode time;
+            # decode_wait = main-thread time blocked on decode futures
+            # (0 when the decode pool keeps ahead of the device)
+            "stage_decode_cpu_s": round(sum(self._stage_decode_s), 3),
+            "stage_encode_device_s": round(self._stage_encode_s, 3),
+            "stage_decode_wait_s": round(self._stage_wait_s, 3),
         }
         if done:
             import logging
@@ -279,7 +299,9 @@ class AspectBucketDataset:
                           write_pool, write_futures) -> int:
         """Drain one chunk's decode futures, encode on device, queue cache
         writes.  Returns the number of images handled."""
+        import time as _time
         arrs, tids_list, metas, caps, ok_idx = [], [], [], [], []
+        t_wait = _time.perf_counter()
         for f in futures:
             out = f.result()
             if out is None:
@@ -290,10 +312,13 @@ class AspectBucketDataset:
             metas.append(meta)
             caps.append(meta["caption"])
             ok_idx.append(i)
+        self._stage_wait_s += _time.perf_counter() - t_wait
         if not arrs:
             return 0
         pixels = np.stack(arrs)
+        t_enc = _time.perf_counter()
         latents = np.asarray(encode_images(pixels))
+        self._stage_encode_s += _time.perf_counter() - t_enc
         enc = encode_prompts(caps)
         pe = np.asarray(enc["prompt_embeds"])
         pooled = np.asarray(enc["pooled_prompt_embeds"])

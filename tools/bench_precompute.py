@@ -149,7 +149,13 @@ def main():
         "device_ms": args.device_ms,
         "serial_imgs_per_sec": round(res["serial"]["images_per_sec"], 2),
         "parallel_imgs_per_sec": round(res["parallel"]["images_per_sec"], 2),
-        "speedup": round(speedup, 2)}))
+        "speedup": round(speedup, 2),
+        # stage seconds of the parallel arm: the single-core bound is
+        # decode-dominated when stage_decode_cpu_s >> stage_encode_device_s
+        "stages": {k: v for k, v in res["parallel"].items()
+                   if k.startswith("stage_")},
+        "stages_serial": {k: v for k, v in res["serial"].items()
+                          if k.startswith("stage_")}}))
 
 
 if __name__ == "__main__":

@@ -548,7 +548,7 @@ def bench_soap_full_scale(cfg, hw, n_chunks=6):
     return out
 
 
-def main():
+def _setup_cache():
     import os
     # persistent compile cache: a repeat bench run (or one primed by
     # tools/measure_r3.py) skips the slow remote compiles
@@ -558,6 +558,100 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass
+
+
+def run_phase(phase: str):
+    """One fault-isolatable phase (run in a subprocess by ``main``): a TPU
+    device fault (UNAVAILABLE) kills only this process, not the whole bench
+    — round-4/5 finding: the int8-moment full-scale update faults the dev
+    chip's tunnel and the fault poisons every later computation in the
+    process, which is how BENCH_r04/r05 lost their serving and
+    single-program rows."""
+    import os
+    _setup_cache()
+    from sdxl_training_improvements_tpu.models.unet import UNetConfig
+    mkcfg = UNetConfig.sdxl
+    hw = 128
+    if phase == "opt_int8":
+        from sdxl_training_improvements_tpu.training.optimizers import (
+            adamw_bf16 as _adamw)
+        t_opt8, _ = bench_optimizer_full_scale(
+            mkcfg(), hw, n_chunks=3,
+            make_opt=lambda: _adamw(lr=4e-7, weight_decay=0.01,
+                                    noise="hash", moments="int8"))
+        return {"t_opt8_ms": round(t_opt8 * 1e3, 2)}
+    if phase == "single_program":
+        return bench_single_program_full_step(
+            mkcfg(remat=True, remat_policy="dots_small",
+                  attn_impl="auto"), hw)
+    if phase == "single_program_literal":
+        return bench_single_program_full_step(
+            mkcfg(remat=True, remat_policy="dots_small_conv10",
+                  attn_impl="auto"), hw, batch=4, accum=4,
+            name="single_program_literal_b4xa4")
+    if phase == "composition":
+        # 0.6x channel width: params+grads+full bf16 state fit all-resident,
+        # so the one-program time can be compared against the sum of its
+        # separately-measured parts
+        cfg_small = mkcfg(block_out_channels=(192, 384, 768),
+                          remat=False, remat_policy="full",
+                          attn_impl="auto")
+        return bench_composition_check(cfg_small, hw)
+    if phase == "serving":
+        serving = {}
+        t_full_1img = None
+        for sname, sbatch in (("latency_1img_cfg2", 2),
+                              ("throughput_4img_cfg8", 8)):
+            try:
+                t_s = bench_serving(
+                    mkcfg(remat=False, attn_impl="auto"), hw, sbatch,
+                    steps=6, warmup=2)
+                if sbatch == 2:
+                    t_full_1img = t_s
+                serving[sname] = {
+                    "unet_fwd_ms": round(t_s * 1e3, 1),
+                    "images_per_s_28step": round(
+                        (sbatch / 2) / (28 * t_s), 3),
+                    # DPM-Solver++(2M): Euler-28 quality at ~14 steps
+                    # (docs/architecture.md "Serving speed")
+                    "images_per_s_dpmpp2m_14step": round(
+                        (sbatch / 2) / (14 * t_s), 3)}
+            except Exception as e:
+                serving[sname] = {"error": repr(e)[:200]}
+        try:
+            # DeepCache: full refresh every k steps, shallow between —
+            # effective step time (t_full + (k-1)*t_shallow)/k
+            t_sh = bench_serving(mkcfg(remat=False, attn_impl="auto"),
+                                 hw, 2, steps=6, warmup=2, deep_cache=True)
+            entry = {"unet_shallow_ms": round(t_sh * 1e3, 1)}
+            if t_full_1img:
+                for k in (2, 3):
+                    t_eff = (t_full_1img + (k - 1) * t_sh) / k
+                    entry[f"images_per_s_28step_k{k}"] = round(
+                        1.0 / (28 * t_eff), 3)
+                    entry[f"images_per_s_dpmpp2m_14step_k{k}"] = round(
+                        1.0 / (14 * t_eff), 3)
+                entry["shallow_speedup_vs_full"] = round(
+                    t_full_1img / t_sh, 2)
+            serving["deepcache_1img_cfg2"] = entry
+        except Exception as e:
+            serving["deepcache_1img_cfg2"] = {"error": repr(e)[:200]}
+        return {"serving": serving}
+    raise SystemExit(f"unknown phase {phase!r}")
+
+
+def main():
+    import os
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        out_path = sys.argv[4] if len(sys.argv) >= 5 else None
+        result = run_phase(sys.argv[2])
+        payload = json.dumps(result)
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write(payload)
+        print(payload)
+        return
+    _setup_cache()
     on_tpu = jax.default_backend() != "cpu"
     from sdxl_training_improvements_tpu.models.unet import UNetConfig
     from sdxl_training_improvements_tpu.ops import attention as A
@@ -666,23 +760,54 @@ def main():
         opt_err = repr(e)
         log(f"optimizer phase failed: {opt_err}")
 
+    # ---- fault-isolated subprocess phases --------------------------------
+    # Round-5 finding: the int8-moment full-scale update (and possibly the
+    # pinned-host single-program step) can FAULT the dev chip
+    # (UNAVAILABLE), and a faulted device poisons every later computation
+    # in the process — BENCH_r04/r05 lost serving + single-program rows
+    # that way.  Each risky phase therefore runs in its own subprocess
+    # (shared persistent compile cache; jax re-init costs ~30-60 s through
+    # the tunnel) so a fault costs one row, not the rest of the bench.
+    def run_phase_subprocess(phase, est_cold_s):
+        if not gate(phase, est_cold_s):
+            return None
+        import subprocess
+        import tempfile
+        out_path = tempfile.mktemp(suffix=f"_{phase}.json")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        log(f"subprocess phase {phase} ...")
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--phase", phase, "--json-out", out_path],
+                timeout=max(60, remaining()), env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True)
+            if p.returncode != 0:
+                tail = (p.stderr or p.stdout or "")[-400:]
+                log(f"  phase {phase} rc={p.returncode}: {tail}")
+            if os.path.exists(out_path):
+                with open(out_path) as f:
+                    data = json.load(f)
+                os.unlink(out_path)
+                log(f"  {data}")
+                return data
+            return {"error": f"phase rc={p.returncode}: "
+                             f"{(p.stderr or '')[-300:]}"}
+        except subprocess.TimeoutExpired:
+            return {"error": f"phase {phase} timed out"}
+        except Exception as e:
+            return {"error": repr(e)[:300]}
+
     # 8-bit log-code moments: 4 instead of 6 state bytes/param -> less HBM
     # traffic in the elementwise update.  Quality-gated by the 1k-step
     # A/B study (tools/study_int8_moments.py, BASELINE.md); the extra
     # literal-row variant below shows the amortized effect.
     t_opt8 = None
-    if on_tpu and gate("optimizer_int8_moments", 420):
-        log("optimizer phase: full-scale 8-bit-moment update (chunked)...")
-        try:
-            from sdxl_training_improvements_tpu.training.optimizers import (
-                adamw_bf16 as _adamw)
-            t_opt8, _ = bench_optimizer_full_scale(
-                mkcfg(), hw, n_chunks=chunks,
-                make_opt=lambda: _adamw(lr=4e-7, weight_decay=0.01,
-                                        noise="hash", moments="int8"))
-            log(f"optimizer(int8 moments): {t_opt8*1e3:.1f} ms")
-        except Exception as e:
-            log(f"int8-moment optimizer phase failed: {e!r}")
+    if on_tpu:
+        r = run_phase_subprocess("opt_int8", 420)
+        if r and "t_opt8_ms" in r:
+            t_opt8 = r["t_opt8_ms"] / 1e3
 
     rows = []
     for name, cname, accum in workloads:
@@ -724,94 +849,45 @@ def main():
                 vs_baseline=round(batch / t_full8
                                   / A100_BASELINE_SAMPLES_PER_S, 4)))
 
+    # EARLY EMISSION (VERDICT round-4 #1): the essential rows are now
+    # measured — put a parseable compact line on stdout immediately, so
+    # even a later timeout/fault leaves the round with an official number
+    # (round 4 recorded rc=124/parsed=null and lost its perf record).
+    # The final compact line at the end supersedes this one (the driver
+    # parses the LAST JSON line of the tail).
+    _ok = [r for r in rows if "samples_per_s" in r]
+    if _ok:
+        print(json.dumps({
+            "metric": "sdxl_1024sq_full_train_step_samples_per_s_per_chip",
+            "value": _ok[0]["samples_per_s"], "unit": "samples/s/chip",
+            "vs_baseline": _ok[0].get("vs_baseline"),
+            "headline_workload": _ok[0]["name"], "chip": chip,
+            "partial": "essential rows only; final line below supersedes",
+        }), flush=True)
+
+    # serving rows run BEFORE the single-program phases (they are plain-XLA
+    # and stable; round-4/5 runs lost them only because they ran after a
+    # faulted phase) — and in a subprocess anyway for the same isolation.
+    # SDXL_BENCH_SERVING=0 opts out.
+    serving = {}
+    if on_tpu and os.environ.get("SDXL_BENCH_SERVING", "1") == "1":
+        r = run_phase_subprocess("serving", 420)
+        if r:
+            serving = r.get("serving", {"error": r.get("error", "?")})
+
     # ONE jitted program for the whole step at full 2.567B scale (verdict
     # round-3 #2) + the additivity check that grounds every composed row.
     # Opt-out (SDXL_BENCH_SINGLE_PROGRAM=0) rather than opt-in: these are
     # the rows that make the headline methodology credible.
     if on_tpu and os.environ.get("SDXL_BENCH_SINGLE_PROGRAM", "1") == "1":
-        if gate("single_program_full_step", 600):
-            log("single-program full step (moments_8bit + shift_host) ...")
-            try:
-                rows.append(bench_single_program_full_step(
-                    mkcfg(remat=True, remat_policy="dots_small",
-                          attn_impl="auto"), hw))
-                log(f"  {rows[-1]}")
-            except Exception as e:
-                rows.append({"name": "single_program_full_step",
-                             "error": repr(e)[:300]})
-                log(f"  failed: {repr(e)[:200]}")
-        if gate("single_program_literal_b4xa4", 600):
-            log("literal b4xa4 recipe as ONE program (dots_small_conv10)...")
-            try:
-                rows.append(bench_single_program_full_step(
-                    mkcfg(remat=True, remat_policy="dots_small_conv10",
-                          attn_impl="auto"), hw, batch=4, accum=4,
-                    name="single_program_literal_b4xa4"))
-                log(f"  {rows[-1]}")
-            except Exception as e:
-                rows.append({"name": "single_program_literal_b4xa4",
-                             "error": repr(e)[:300]})
-                log(f"  failed: {repr(e)[:200]}")
-    if (on_tpu and os.environ.get("SDXL_BENCH_SINGLE_PROGRAM", "1") == "1"
-            and gate("composition_check", 420)):
-        log("composition additivity check (reduced UNet, all-resident) ...")
-        try:
-            # 0.6x channel width: params+grads+full bf16 state fit
-            # all-resident, so the one-program time can be compared
-            # against the sum of its separately-measured parts
-            cfg_small = mkcfg(block_out_channels=(192, 384, 768),
-                              remat=False, remat_policy="full",
-                              attn_impl="auto")
-            rows.append(bench_composition_check(cfg_small, hw))
-            log(f"  {rows[-1]}")
-        except Exception as e:
-            rows.append({"name": "composition_check_reduced_unet",
-                         "error": repr(e)[:300]})
-            log(f"  failed: {repr(e)[:200]}")
-
-    serving = {}
-    if (on_tpu and os.environ.get("SDXL_BENCH_SERVING", "0") == "1"
-            and gate("serving", 420)):
-        # opt-in (like SOAP) so the driver's bench run can't stall on two
-        # fresh inference HLO compiles; tools/measure_r3.py serving primes
-        # the cache and records the same numbers
-        t_full_1img = None
-        for sname, sbatch in (("latency_1img_cfg2", 2),
-                              ("throughput_4img_cfg8", 8)):
-            try:
-                t_s = bench_serving(
-                    mkcfg(remat=False, attn_impl="auto"), hw, sbatch,
-                    steps=6, warmup=2)
-                if sbatch == 2:
-                    t_full_1img = t_s
-                serving[sname] = {
-                    "unet_fwd_ms": round(t_s * 1e3, 1),
-                    "images_per_s_28step": round(
-                        (sbatch / 2) / (28 * t_s), 3),
-                    # DPM-Solver++(2M): Euler-28 quality at ~14 steps
-                    # (docs/architecture.md "Serving speed")
-                    "images_per_s_dpmpp2m_14step": round(
-                        (sbatch / 2) / (14 * t_s), 3)}
-            except Exception as e:
-                serving[sname] = {"error": repr(e)[:200]}
-        try:
-            # DeepCache: full refresh every k steps, shallow between —
-            # effective step time (t_full + (k-1)*t_shallow)/k
-            t_sh = bench_serving(mkcfg(remat=False, attn_impl="auto"),
-                                 hw, 2, steps=6, warmup=2, deep_cache=True)
-            entry = {"unet_shallow_ms": round(t_sh * 1e3, 1)}
-            if t_full_1img:
-                for k in (2, 3):
-                    t_eff = (t_full_1img + (k - 1) * t_sh) / k
-                    entry[f"images_per_s_28step_k{k}"] = round(
-                        1.0 / (28 * t_eff), 3)
-                    entry[f"images_per_s_dpmpp2m_14step_k{k}"] = round(
-                        1.0 / (14 * t_eff), 3)
-                entry["shallow_speedup_vs_full"] = round(
-                    t_full_1img / t_sh, 2)
-            serving["deepcache_1img_cfg2"] = entry
-        except Exception as e:
-            serving["deepcache_1img_cfg2"] = {"error": repr(e)[:200]}
+        for phase, row_name, est in (
+                ("single_program", "single_program_full_step", 600),
+                ("single_program_literal", "single_program_literal_b4xa4",
+                 600),
+                ("composition", "composition_check_reduced_unet", 420)):
+            r = run_phase_subprocess(phase, est)
+            if r is not None:
+                rows.append(r if "name" in r else dict(r, name=row_name))
 
     extra_soap = {}
     if os.environ.get("SDXL_BENCH_SOAP", "0") == "1" and gate("soap", 600):

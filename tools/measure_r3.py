@@ -10,9 +10,14 @@ result incrementally to ``outputs/measure_r3.json``:
   round-2 OOM case) under remat off / dots_nobatch / full, batch-1
   baselines with xla and chunked attention.
 
-Usage (TPU, from the repo root — keep the axon PYTHONPATH intact):
-    PYTHONPATH="/root/repo:$PYTHONPATH" python tools/measure_r3.py [phase...]
+Usage (TPU, from the repo root):
+    python tools/measure_r3.py [phase...]
 Phases default to all of: opt b4 b1 extra
+
+Do NOT set PYTHONPATH=/root/repo for TPU runs: the var propagates into the
+axon plugin's compile-relay helper subprocess and breaks its imports, which
+surfaces as "Unable to initialize backend 'axon'" (round-5 finding,
+2026-08-20).  This script puts the repo on sys.path itself.
 """
 from __future__ import annotations
 

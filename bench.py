@@ -774,7 +774,20 @@ def main():
         import subprocess
         import tempfile
         out_path = tempfile.mktemp(suffix=f"_{phase}.json")
-        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        # PYTHONPATH hygiene: the kernel env's /root/.axon_site entry
+        # PROVIDES the axon TPU plugin and must be kept (dropping the var
+        # entirely kills the backend: "Backend 'axon' is not in the list
+        # of known backends", 2026-08-20); only a /root/repo entry is
+        # harmful (it leaks into the compile-relay helper and breaks its
+        # imports — tools/measure_r3.py docstring).  Strip just the repo.
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        parts = [q for q in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if q and os.path.abspath(q) != repo]
+        if parts:
+            env["PYTHONPATH"] = os.pathsep.join(parts)
+        else:
+            env.pop("PYTHONPATH", None)
         log(f"subprocess phase {phase} ...")
         try:
             p = subprocess.run(

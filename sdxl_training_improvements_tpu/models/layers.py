@@ -20,7 +20,8 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from sdxl_training_improvements_tpu.ops.attention import dot_product_attention
-from sdxl_training_improvements_tpu.ops.groupnorm import groupnorm_silu
+from sdxl_training_improvements_tpu.ops.groupnorm import (
+    groupnorm_silu, norm_arith_bf16_enabled)
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int,
@@ -62,23 +63,43 @@ class TimestepEmbedding(nn.Module):
 
 
 def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
-    """GroupNorm over NHWC (or [B, S, C]) in fp32, params applied in fp32.
+    """GroupNorm over NHWC (or [B, S, C]): statistics in fp32, the
+    normalization applied in the input dtype.
 
     Written explicitly (rather than nn.GroupNorm) so the fused Pallas
     GroupNorm-SiLU kernel can swap in with identical semantics.
+
+    bf16 inputs under ``ops.groupnorm.norm_arith_bf16`` (the remat
+    production path): the mean/var reductions run in fp32 but as *fused*
+    reductions over the bf16 input (E[x²]−E[x]² form, single pass
+    each — no fp32 copy of the activation is ever materialised), and the
+    normalize/affine arithmetic stays bf16.  The train step is HBM-bound
+    (242 GB/step at 1024² batch 1, docs/performance.md "Step profile");
+    the old all-fp32 norm interior made every norm's autodiff residual
+    (x̂ and friends) a 2× fp32 tensor — measured −3.5% on the remat b4
+    literal step, +1.5% without remat, hence the trace-time gate.  fp32
+    inputs keep the original two-pass fp32 computation bit-for-bit
+    (parity harnesses run fp32).
     """
     orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
     c = x.shape[-1]
     spatial = x.shape[1:-1]
     g = num_groups
     xg = x.reshape(x.shape[0], -1, g, c // g)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(x.shape[0], *spatial, c)
-    x = x * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return x.astype(orig_dtype)
+    x32 = xg.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    if orig_dtype == jnp.bfloat16 and norm_arith_bf16_enabled():
+        # single-pass stats; backward of E[x²] reads only the bf16 input
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x32), axis=(1, 3), keepdims=True)
+            - jnp.square(mean), 0.0)
+        mul = jax.lax.rsqrt(var + eps)
+        xhat = (xg - mean.astype(orig_dtype)) * mul.astype(orig_dtype)
+    else:
+        var = jnp.var(x32, axis=(1, 3), keepdims=True)
+        xhat = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
+    y = xhat.reshape(x.shape[0], *spatial, c)
+    return y * scale.astype(orig_dtype) + bias.astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):
@@ -233,7 +254,12 @@ class FeedForward(nn.Module):
 
 
 class LayerNormF32(nn.Module):
-    """LayerNorm computed in fp32 (params fp32), output in input dtype."""
+    """LayerNorm with fp32 statistics (params fp32), output in input dtype.
+
+    Same residual-dtype policy as ``group_norm``: bf16 inputs keep the
+    normalize/affine arithmetic (and therefore the autodiff residuals) in
+    bf16 with fused single-pass fp32 stats; fp32 inputs keep the original
+    all-fp32 computation bit-for-bit."""
 
     eps: float = 1e-5
 
@@ -245,9 +271,18 @@ class LayerNormF32(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return y.astype(dt)
+        if dt == jnp.bfloat16 and norm_arith_bf16_enabled():
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                - jnp.square(mean), 0.0)
+            mul = jax.lax.rsqrt(var + self.eps)
+            y = ((x - mean.astype(dt)) * mul.astype(dt) * scale.astype(dt)
+                 + bias.astype(dt))
+        else:
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            y = ((xf - mean) * jax.lax.rsqrt(var + self.eps) * scale
+                 + bias).astype(dt)
+        return y
 
 
 class BasicTransformerBlock(nn.Module):

@@ -32,6 +32,7 @@ from flax import linen as nn
 from sdxl_training_improvements_tpu.models.layers import (
     Downsample2D, GroupNormSiLU, ResnetBlock2D, TimestepEmbedding,
     Transformer2DModel, Upsample2D, timestep_embedding)
+from sdxl_training_improvements_tpu.ops.groupnorm import norm_arith_bf16
 
 
 def _small_saves_policy(max_out_elements: int = 8 * 1024 * 1024,
@@ -150,6 +151,10 @@ class UNetConfig:
     # "auto" chunk threshold override (MB); None -> remat-aware default
     # (512 under remat, 64 otherwise — see ops/attention.py docstring)
     attn_chunk_mb: Optional[int] = None
+    # bf16 norm interior (ops/groupnorm.py::norm_arith_bf16): None = auto
+    # (ON iff remat — measured −3.5% on the remat literal step, +1.5%
+    # without remat, tools/measure_r3.py 2026-08-20); True/False forces
+    norm_bf16_arith: Optional[bool] = None
 
     @classmethod
     def sdxl(cls, **kw) -> "UNetConfig":
@@ -446,6 +451,17 @@ class SDXLUNet(nn.Module):
                 "dots_small_conv10": _small_saves_policy(
                     max_out_elements=10 * 1024 * 1024 + 512 * 1024,
                     small_names=("res_conv", "gn_silu", "attn_core")),
+                # conv10 + the 128^2-stage (stage-0, attention-free)
+                # res_conv/gn_silu outputs (21M elements, 42 MB bf16 each
+                # at batch 4): the bf16 norm interior (round 5) freed
+                # enough save budget that the largest-spatial conv/GN
+                # recomputes can be bought out too (~600 MB more saves)
+                "dots_small_conv10_128": _small_saves_policy(
+                    max_out_elements=10 * 1024 * 1024 + 512 * 1024,
+                    small_names=("res_conv", "gn_silu", "attn_core"),
+                    name_thresholds={
+                        "res_conv": 22 * 1024 * 1024,
+                        "gn_silu": 22 * 1024 * 1024}),
             }
             if cfg.remat_policy not in policies:
                 raise ValueError(
@@ -480,7 +496,8 @@ class SDXLUNet(nn.Module):
                         dots=False))
             if cfg.remat_policy in ("dots_small", "dots_small_conv",
                                     "dots_small_conv_attnwide",
-                                    "dots_small_conv10"):
+                                    "dots_small_conv10",
+                                    "dots_small_conv10_128"):
                 # spend the save budget on the down/up transformer stages
                 # only: with the mid block fully rematerialised the batch-4
                 # @1024^2 peak drops ~700 MB below the 16 GB chip (with all
@@ -491,8 +508,24 @@ class SDXLUNet(nn.Module):
             return res_cls, tfm_cls, mid_tfm_cls
         return res_cls, tfm_cls, tfm_cls
 
-    @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
+                 text_embeds, time_ids, deep_cache=None,
+                 return_deep: bool = False):
+        # trace-time norm-interior dtype policy (see UNetConfig field):
+        # bf16 arithmetic pays under remat (smaller saves + recompute
+        # traffic) and costs without it — resolve from this UNet's config
+        # so e.g. the no-remat headline step and the remat literal step
+        # each get their measured-best form.
+        cfg = self.config
+        on = (cfg.norm_bf16_arith if cfg.norm_bf16_arith is not None
+              else cfg.remat)
+        with norm_arith_bf16(on):
+            return self._forward(sample, timesteps, encoder_hidden_states,
+                                 text_embeds, time_ids, deep_cache,
+                                 return_deep)
+
+    @nn.compact
+    def _forward(self, sample, timesteps, encoder_hidden_states,
                  text_embeds, time_ids, deep_cache=None,
                  return_deep: bool = False):
         """Predict noise / velocity.

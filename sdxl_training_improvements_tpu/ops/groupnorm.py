@@ -19,6 +19,8 @@ from the reference formula — simple and always correct).
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -29,20 +31,64 @@ from jax.experimental.pallas import tpu as pltpu
 # per-image VMEM budget for the single-block kernel (bf16 bytes)
 _MAX_TILE_BYTES = 12 * 1024 * 1024
 
+# Trace-time switch for the bf16 norm interior (round-5 lever).  With it ON
+# a bf16 input keeps the normalize/affine arithmetic — and therefore the
+# autodiff residuals XLA saves for the backward — in bf16 (fp32 statistics
+# either way).  Measured on the chip (tools/measure_r3.py, 2026-08-20):
+# −3.5% on the remat literal b4@1024² step (1350.0 → 1302.9 ms: smaller
+# residuals = less save+recompute HBM traffic) but +1.5% on the no-remat
+# b1 step (260.3 → 264.2 ms: residuals are saved once anyway and the extra
+# cast chain costs).  UNet.__call__ therefore sets it from its own config
+# (default: ON iff remat) for the duration of the trace; fp32 inputs are
+# bit-identical either way.  The ambient default is OFF so every non-UNet
+# consumer (CLIP text towers, VAE paths, direct kernel calls) keeps the
+# round-4 fp32-interior numerics.
+_NORM_ARITH_BF16 = contextvars.ContextVar("sdxl_norm_arith_bf16",
+                                          default=False)
+
+
+def norm_arith_bf16_enabled() -> bool:
+    return _NORM_ARITH_BF16.get()
+
+
+@contextlib.contextmanager
+def norm_arith_bf16(enabled: bool):
+    tok = _NORM_ARITH_BF16.set(bool(enabled))
+    try:
+        yield
+    finally:
+        _NORM_ARITH_BF16.reset(tok)
+
 
 def groupnorm_silu_reference(x, scale, bias, num_groups: int = 32,
                              eps: float = 1e-5):
-    """silu(groupnorm(x)) on NHWC (or [B, S, C]) in fp32, cast back."""
+    """silu(groupnorm(x)) on NHWC (or [B, S, C]).
+
+    Residual-dtype policy matches ``models.layers.group_norm``: fp32
+    statistics always; the normalize/affine/SiLU arithmetic runs in the
+    input dtype for bf16 inputs when ``norm_arith_bf16`` is on at trace
+    time (keeps autodiff residuals bf16 — the HBM-traffic lever,
+    docs/performance.md) and in fp32 (bit-identical to the original form)
+    otherwise."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    c = xf.shape[-1]
-    spatial = xf.shape[1:-1]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
     g = num_groups
-    xg = xf.reshape(xf.shape[0], -1, g, c // g)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(xf.shape[0], *spatial, c)
+    xg = x.reshape(x.shape[0], -1, g, c // g)
+    x32 = xg.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    if orig_dtype == jnp.bfloat16 and norm_arith_bf16_enabled():
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x32), axis=(1, 3), keepdims=True)
+            - jnp.square(mean), 0.0)
+        mul = jax.lax.rsqrt(var + eps)
+        xhat = (xg - mean.astype(orig_dtype)) * mul.astype(orig_dtype)
+        y = (xhat.reshape(x.shape[0], *spatial, c) * scale.astype(orig_dtype)
+             + bias.astype(orig_dtype))
+        return y * jax.nn.sigmoid(y)
+    var = jnp.var(x32, axis=(1, 3), keepdims=True)
+    xg32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg32.reshape(x.shape[0], *spatial, c)
     y = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return (y * jax.nn.sigmoid(y)).astype(orig_dtype)
 

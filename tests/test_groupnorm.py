@@ -38,12 +38,64 @@ def test_pallas_kernel_bf16():
     x = jax.random.normal(jax.random.key(1), (1, 128, 64), jnp.bfloat16)
     scale = jnp.ones((64,))
     bias = jnp.zeros((64,))
-    ref = groupnorm_silu_reference(x, scale, bias, num_groups=32)
+    # the kernel keeps an fp32 interior, so its oracle is the fp32-input
+    # reference (the bf16-input reference intentionally normalizes in
+    # bf16 — the residual-traffic lever — and differs by bf16 rounding)
+    ref = groupnorm_silu_reference(
+        x.astype(jnp.float32), scale, bias, num_groups=32)
     with pltpu.force_tpu_interpret_mode():
         out = _gn_silu_pallas(x, scale, bias, num_groups=32, eps=1e-5)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_bf16_arith_gate():
+    """norm_arith_bf16 switches the bf16 interior; OFF (ambient default)
+    is bit-identical to the fp32 interior, ON agrees to bf16 rounding."""
+    from sdxl_training_improvements_tpu.ops.groupnorm import norm_arith_bf16
+    x = jax.random.normal(jax.random.key(5), (2, 64, 32), jnp.bfloat16)
+    scale = jnp.linspace(0.5, 1.5, 32)
+    bias = jnp.linspace(-0.1, 0.1, 32)
+    off = groupnorm_silu_reference(x, scale, bias, num_groups=8)
+    f32 = groupnorm_silu_reference(x.astype(jnp.float32), scale, bias,
+                                   num_groups=8).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(off, np.float32),
+                                  np.asarray(f32, np.float32))
+    with norm_arith_bf16(True):
+        on = groupnorm_silu_reference(x, scale, bias, num_groups=8)
+    assert on.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(on, np.float32),
+                               np.asarray(f32, np.float32), atol=5e-2)
+
+
+def test_unet_config_gates_norm_arith():
+    """UNetConfig.norm_bf16_arith=None resolves to the remat flag at trace
+    time (the measured-best form per step type)."""
+    from unittest import mock
+    from sdxl_training_improvements_tpu.models import unet as U
+    from sdxl_training_improvements_tpu.ops import groupnorm as G
+    seen = {}
+
+    real = G.norm_arith_bf16
+
+    def spy(enabled):
+        seen["on"] = enabled
+        return real(enabled)
+
+    cfgs = [(U.UNetConfig.tiny(remat=True, remat_policy="full"), True),
+            (U.UNetConfig.tiny(remat=False), False)]
+    for cfg, expect in cfgs:
+        m = U.SDXLUNet(cfg)
+        with mock.patch.object(U, "norm_arith_bf16", spy):
+            b, hw = 1, 8
+            m.init(jax.random.key(0),
+                   jnp.zeros((b, cfg.in_channels, hw, hw)),
+                   jnp.zeros((b,), jnp.int32),
+                   jnp.zeros((b, 77, cfg.cross_attention_dim)),
+                   jnp.zeros((b, cfg.pooled_embed_dim)),
+                   jnp.zeros((b, cfg.num_time_ids)))
+        assert seen.pop("on") is expect, (cfg.remat, expect)
 
 
 def test_dispatcher_defaults_to_reference():

@@ -235,6 +235,17 @@ FWD_CASES = {
         batch=4, remat=True, remat_policy="dots_small_conv10",
         attn_impl="auto", steps=6, warmup=2,
         env={"SDXL_TPU_ATTN_CHUNK_MB": "512"}),
+    # round-5: conv10 + 128^2-stage res_conv/gn_silu saves (fits only with
+    # the bf16 norm interior freeing the save budget)
+    "b4_dotssmallconv10_128_auto_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv10_128",
+        attn_impl="auto", steps=6, warmup=2),
+    # round-5: with the bf16 norm interior the XLA GN path's residuals
+    # shrank — does the fused (fp32-interior) Pallas GN still win?
+    "b4_dotssmallconv10_nofgn_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv10",
+        attn_impl="auto", steps=6, warmup=2,
+        env={"SDXL_TPU_FUSED_GN": "0"}),
 }
 
 

@@ -95,11 +95,15 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
             - jnp.square(mean), 0.0)
         mul = jax.lax.rsqrt(var + eps)
         xhat = (xg - mean.astype(orig_dtype)) * mul.astype(orig_dtype)
-    else:
-        var = jnp.var(x32, axis=(1, 3), keepdims=True)
-        xhat = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
-    y = xhat.reshape(x.shape[0], *spatial, c)
-    return y * scale.astype(orig_dtype) + bias.astype(orig_dtype)
+        y = xhat.reshape(x.shape[0], *spatial, c)
+        return y * scale.astype(orig_dtype) + bias.astype(orig_dtype)
+    # gate OFF: the original all-fp32 interior, bit-for-bit (normalize,
+    # affine, THEN the single cast back) for every input dtype
+    var = jnp.var(x32, axis=(1, 3), keepdims=True)
+    xg32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y32 = xg32.reshape(x.shape[0], *spatial, c)
+    y32 = y32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y32.astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):

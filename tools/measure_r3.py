@@ -58,11 +58,11 @@ def record(key, value):
 
 
 def bench_fwd_bwd_cfg(batch, remat, remat_policy, attn_impl, steps=10,
-                      warmup=3, hw=128):
+                      warmup=3, hw=128, **cfg_kw):
     from bench import bench_fwd_bwd
     from sdxl_training_improvements_tpu.models.unet import UNetConfig
     cfg = UNetConfig.sdxl(remat=remat, remat_policy=remat_policy,
-                          attn_impl=attn_impl)
+                          attn_impl=attn_impl, **cfg_kw)
     return bench_fwd_bwd(cfg, batch, hw, steps, warmup)
 
 
@@ -246,6 +246,12 @@ FWD_CASES = {
         batch=4, remat=True, remat_policy="dots_small_conv10",
         attn_impl="auto", steps=6, warmup=2,
         env={"SDXL_TPU_FUSED_GN": "0"}),
+    # round-5: the bf16-interior A/B partner for back-to-back runs (the
+    # chip drifts ~5% across the day — cross-window deltas are unusable,
+    # measure_r5_c.log 2026-08-20)
+    "b4_dotssmallconv10_fp32norm_ms": dict(
+        batch=4, remat=True, remat_policy="dots_small_conv10",
+        attn_impl="auto", steps=6, warmup=2, norm_bf16_arith=False),
 }
 
 

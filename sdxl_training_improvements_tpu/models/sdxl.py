@@ -110,11 +110,15 @@ class SDXLModel:
 
     def init_params(self, rng: jax.Array, components=("unet",),
                     latent_size: int = 16) -> None:
+        # Every .init goes through jax.jit: ONE compiled program per
+        # component instead of one remote dispatch per op — eager init of
+        # the 2.567B UNet through the tunneled dev chip never finished
+        # (observed 2026-08-20, >20 min in init), jitted it is seconds.
         ucfg = self.unet.config
         keys = jax.random.split(rng, 4)
         if "unet" in components:
             b = 1
-            self.params["unet"] = self.unet.init(
+            self.params["unet"] = jax.jit(self.unet.init)(
                 keys[0],
                 jnp.zeros((b, ucfg.in_channels, latent_size, latent_size)),
                 jnp.zeros((b,)),
@@ -122,15 +126,15 @@ class SDXLModel:
                 jnp.zeros((b, ucfg.pooled_embed_dim)),
                 jnp.zeros((b, ucfg.num_time_ids)))
         if "vae" in components:
-            self.params["vae"] = self.vae.init(
+            self.params["vae"] = jax.jit(self.vae.init)(
                 keys[1], jnp.zeros((1, 3, 8 * latent_size, 8 * latent_size)),
                 keys[1])
         if "clip_l" in components and self.clip_l is not None:
             ids = jnp.zeros((1, 77), jnp.int32)
-            self.params["clip_l"] = self.clip_l.init(keys[2], ids)
+            self.params["clip_l"] = jax.jit(self.clip_l.init)(keys[2], ids)
         if "clip_g" in components:
             ids = jnp.zeros((1, 77), jnp.int32)
-            self.params["clip_g"] = self.clip_g.init(keys[3], ids)
+            self.params["clip_g"] = jax.jit(self.clip_g.init)(keys[3], ids)
 
     # ------------------------------------------------------------- compute
     def unet_apply(self, unet_params, sample, timesteps, prompt_embeds,

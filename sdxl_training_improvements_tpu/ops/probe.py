@@ -43,10 +43,16 @@ import jax.numpy as jnp
 # ratio separates cleanly.  Declare Mosaic native when the Pallas timing is
 # within 4x of XLA's plus a 2 ms allowance.
 _PROBE_SHAPE = (4096, 4096)  # f32: 64 MB
+# Block rows per grid step: 128 rows x 4096 cols f32 = 2 MB per buffer, so
+# in+out double-buffered stays ~8 MB — under the v5e compile helper's 16 MB
+# scoped-vmem stack limit (512-row blocks hit 32 MB and the AOT compile
+# faults, 2026-08-20).  The ARRAY stays 64 MB so tunnel RPC overhead still
+# cannot mask the emulation cost (see note above).
+_PROBE_BLOCK_ROWS = 128
 _RATIO_LIMIT = 4.0
 _ABS_ALLOWANCE_S = 2e-3
 _PROBE_ITERS = 10
-_PROBE_VERSION = 2  # bump to invalidate cached verdicts from older probes
+_PROBE_VERSION = 3  # bump to invalidate cached verdicts from older probes
 
 
 def _cache_path() -> str:
@@ -101,7 +107,7 @@ def _run_probe() -> bool:
         o_ref[...] = x_ref[...] * 2.0 + 1.0
 
     rows, cols = _PROBE_SHAPE
-    block = 512
+    block = _PROBE_BLOCK_ROWS
     x = jnp.ones(_PROBE_SHAPE, jnp.float32)
     pallas_fn = jax.jit(lambda a: pl.pallas_call(
         kernel,
@@ -133,6 +139,15 @@ def mosaic_native() -> bool:
         result = _run_probe()
     except Exception:
         result = False  # Pallas unavailable/broken => XLA path
+        # A failed remote compile can be delivered asynchronously and would
+        # otherwise re-raise at the NEXT unrelated dispatch (observed
+        # 2026-08-20: the probe's vmem fault resurfaced inside UNet init).
+        # Drain any pending error on a throwaway sync point so the caller's
+        # subsequent XLA work starts clean.
+        try:
+            jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+        except Exception:
+            pass
     _write_cache(key, result)
     return result
 

@@ -513,6 +513,13 @@ def stage_full_scale(log, steps: int = 300, image_size: int = 1024,
     from sdxl_training_improvements_tpu.config import Config
     from sdxl_training_improvements_tpu.models.sdxl import SDXLModel
 
+    try:  # persistent compile cache shared with bench.py / measure_r3.py
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO / ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     if jax.default_backend() == "cpu":
         log("WARNING: full-scale stage on CPU will be extremely slow")
 

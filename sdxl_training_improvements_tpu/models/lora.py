@@ -164,33 +164,38 @@ def lora_train_wrappers(base_params, unet_apply: Callable, rng: jax.Array,
       interception adds ``alpha * up(down(dropout(x)))`` at each targeted
       Dense — requires ``module`` (the flax UNet) to apply against.
 
-    Sharding note: the frozen base params are captured in the closure, so
-    the jitted step embeds them as constants — they stay replicated per
-    device and cannot ride ``tpu.shard_params``'s ZeRO sharding.  Fine on
-    single-host (frozen weights need no optimizer state); for multi-host
-    LoRA on memory-tight meshes, thread the base tree through the step as
-    an explicitly sharded argument instead (ROADMAP).
+    Threading note: ``apply_fn`` accepts ``base_params=`` to override the
+    closed-over frozen tree.  The train step MUST use it (``make_train_step
+    (..., const_params=base)`` threads the base tree as a real jit argument)
+    — a closure-captured 2.567B tree is embedded into the lowered module as
+    5.14 GB of constants (observed 2026-08-20: the full-scale compile
+    payload never finished through the remote-compile relay), and constants
+    also cannot ride ``tpu.shard_params``'s ZeRO sharding.  The closure
+    default remains for eval/sampling convenience paths.
     """
     lora_params = lora_init(base_params, rng, rank=rank, targets=targets)
     if dropout > 0.0 and module is None:
         raise ValueError("LoRA dropout needs module= (the flax UNet) for "
                          "branch-mode application")
 
-    def apply_fn(lora_tree, *args, rng=None, **kwargs):
+    def apply_fn(lora_tree, *args, rng=None, base_params=None, **kwargs):
+        base = base_params if base_params is not None else _closure_base
         if dropout > 0.0 and rng is not None:
             from flax import linen as nn
             matched: set = set()
             with nn.intercept_methods(_dropout_interceptor(
                     lora_tree, alpha, dropout, rng, matched)):
-                out = module.apply(base_params, *args, **kwargs)
+                out = module.apply(base, *args, **kwargs)
             missing = set(lora_tree) - matched
             if missing:
                 raise ValueError(
                     f"{len(missing)} LoRA pairs never reached a Dense during "
                     f"apply (path mismatch), e.g. {sorted(missing)[:3]}")
             return out
-        merged = lora_merge(base_params, lora_tree, alpha=alpha)
+        merged = lora_merge(base, lora_tree, alpha=alpha)
         return unet_apply(merged, *args, **kwargs)
+
+    _closure_base = base_params
 
     return lora_params, apply_fn
 

@@ -99,6 +99,7 @@ class SDXLTrainer:
         # reference never wired, ``src/models/adapters/lora.py:11-56``).
         lcfg = config.training.lora
         self.lora_apply = None
+        step_consts = None
         if lcfg.enabled:
             from sdxl_training_improvements_tpu.models.lora import (
                 DEFAULT_TARGETS, lora_train_wrappers)
@@ -110,6 +111,10 @@ class SDXLTrainer:
                 else DEFAULT_TARGETS,
                 dropout=lcfg.dropout, module=self.model.unet)
             self.lora_apply = apply_fn
+            # the frozen base tree rides the jit as a real argument —
+            # closure capture would bake 5.14 GB of constants into the
+            # lowered step (make_train_step docstring)
+            step_consts = self.model.trainable_params()
         else:
             trainable, apply_fn = (self.model.trainable_params(),
                                    self.model.unet_apply)
@@ -117,7 +122,8 @@ class SDXLTrainer:
 
         self.train_step = make_train_step(
             apply_fn, self.schedule, self.optimizer, config,
-            mesh=self.mesh, donate=config.tpu.donate_state)
+            mesh=self.mesh, donate=config.tpu.donate_state,
+            const_params=step_consts)
 
         # ----- state (fresh or resumed)
         state = create_train_state(trainable, self.optimizer,

@@ -53,8 +53,17 @@ def global_norm(tree) -> jnp.ndarray:
 
 def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
                     optimizer: optax.GradientTransformation, config,
-                    mesh=None, donate: bool = True) -> Callable:
+                    mesh=None, donate: bool = True,
+                    const_params=None) -> Callable:
     """Build the jitted step.
+
+    ``const_params``: an optional frozen pytree (e.g. the 2.567B base UNet
+    under LoRA) threaded through the jit as a REAL argument and handed to
+    ``unet_apply`` via ``base_params=``.  Closure capture instead would
+    embed it into the lowered module as gigabytes of constants (5.14 GB at
+    SDXL scale — the compile payload never finished through the dev
+    tunnel's remote-compile relay, 2026-08-20) and would pin it replicated,
+    outside ``tpu.shard_params``' reach.
 
     ``batch`` leaves are [global_batch, ...]; with gradient accumulation G
     the leading dim must be divisible by G and is processed as G sequential
@@ -94,13 +103,17 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
                    if getattr(config.tpu, "grad_accum_dtype", "float32")
                    == "bfloat16" else jnp.float32)
 
-    def micro_loss(params, mb, rng):
-        loss, metrics = loss_fn(unet_apply, params, mb, rng, schedule, mcfg)
-        return loss, metrics
+    def train_step(state: TrainState, batch,
+                   consts=None) -> Tuple[TrainState, Dict]:
+        apply = (unet_apply if consts is None else
+                 lambda p, *a, **k: unet_apply(p, *a, base_params=consts,
+                                               **k))
 
-    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+        def micro_loss(params, mb, rng):
+            loss, metrics = loss_fn(apply, params, mb, rng, schedule, mcfg)
+            return loss, metrics
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
         rng, k_samples, k_micro = jax.random.split(state.rng, 3)
         # Per-sample keys: every sample's randomness (noise, timesteps) is
         # keyed by its position in the GLOBAL batch, carried as raw
@@ -179,7 +192,9 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
     donate_argnums = (0,) if donate else ()
     jitted = jax.jit(train_step, donate_argnums=donate_argnums)
     if not donate:
-        return jitted
+        if const_params is None:
+            return jitted
+        return lambda state, batch: jitted(state, batch, const_params)
 
     # Host-streamed optimizer state (optimizer.shift_host/moments_host)
     # needs donation handled with care: jax pairs donated input buffers to
@@ -203,12 +218,12 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
     def step(state, batch):
         leaves = jax.tree_util.tree_leaves(state)
         if not any(_memory_kind(l) == "pinned_host" for l in leaves):
-            return jitted(state, batch)
+            return jitted(state, batch, const_params)
         if jax.default_backend() != "tpu":
             key = "nodonate"
             if key not in host_cache:
                 host_cache[key] = jax.jit(train_step)
-            return host_cache[key](state, batch)
+            return host_cache[key](state, batch, const_params)
         shardings = jax.tree.map(lambda l: l.sharding, state)
         # the cache bakes these shardings into out_shardings, so the key
         # must carry the full sharding tree — structure + memory kinds
@@ -222,12 +237,13 @@ def make_train_step(unet_apply: Callable, schedule: NoiseSchedule,
             metric_s = SingleDeviceSharding(
                 getattr(dev0, "_device", jax.devices()[0]))
             # metrics structure: probe via eval_shape once
-            out_shape = jax.eval_shape(train_step, state, batch)
+            out_shape = jax.eval_shape(train_step, state, batch,
+                                       const_params)
             metrics_sh = jax.tree.map(lambda _: metric_s, out_shape[1])
             host_cache[key] = jax.jit(
                 train_step, donate_argnums=(0,),
                 out_shardings=(shardings, metrics_sh))
-        return host_cache[key](state, batch)
+        return host_cache[key](state, batch, const_params)
 
     return step
 
